@@ -1,0 +1,277 @@
+package graft.text
+
+/** The Snowball "english" (Porter2) stemming algorithm, ported from the
+  * published algorithm description (snowballstem.org, "The English (Porter2)
+  * stemming algorithm") — the same program `rust-stemmers 1.2.0`'s
+  * `Algorithm::English` compiles, which the reference lexer applies per token
+  * (`/root/reference/src/lexer.rs:50,69`).
+  *
+  * Fidelity notes (SURVEY.md §2.6):
+  *   - The reference stems the ORIGINAL-CASED token and uppercases afterwards.
+  *     Snowball's generated code matches literal lowercase suffixes, so
+  *     uppercase letters never match suffixes and are never vowels. This port
+  *     therefore performs strictly literal lowercase matching and must NOT be
+  *     handed a pre-lowercased string by the lexer.
+  *   - The `Y` marker the prelude writes is uppercased away by the caller
+  *     (`stem(tok).toUpperCase`), so the postlude's Y→y restoration only
+  *     affects case and is still performed here for standalone correctness.
+  */
+object Porter2 {
+
+  @inline private def isVowel(c: Char): Boolean =
+    c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+
+  private def isDouble(a: Char, b: Char): Boolean =
+    a == b && (a == 'b' || a == 'd' || a == 'f' || a == 'g' || a == 'm' ||
+      a == 'n' || a == 'p' || a == 'r' || a == 't')
+
+  private def isValidLiEnding(c: Char): Boolean =
+    c == 'c' || c == 'd' || c == 'e' || c == 'g' || c == 'h' || c == 'k' ||
+      c == 'm' || c == 'n' || c == 'r' || c == 't'
+
+  /** Special-cased whole words (exception1 in the Snowball source). */
+  private val exception1: Map[String, String] = Map(
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+    "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+    // invariants
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
+    "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
+
+  /** Whole words halted after step 1a (exception2). */
+  private val exception2: Set[String] = Set(
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed")
+
+  /** A short syllable *ending at* index `end` (exclusive). */
+  private def shortSyllableEndingAt(w: CharSequence, end: Int): Boolean = {
+    if (end == 2)
+      isVowel(w.charAt(0)) && !isVowel(w.charAt(1))
+    else if (end >= 3) {
+      val c2 = w.charAt(end - 1)
+      !isVowel(w.charAt(end - 3)) && isVowel(w.charAt(end - 2)) &&
+      !isVowel(c2) && c2 != 'w' && c2 != 'x' && c2 != 'Y'
+    } else false
+  }
+
+  def stem(word: String): String = {
+    exception1.get(word) match {
+      case Some(r) => return r
+      case None =>
+    }
+    if (word.length <= 2) return word
+
+    val sb = new java.lang.StringBuilder(word)
+
+    // ---- prelude -------------------------------------------------------
+    if (sb.length > 0 && sb.charAt(0) == '\'') sb.deleteCharAt(0)
+    if (sb.length == 0) return sb.toString
+    if (sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
+    var i = 1
+    while (i < sb.length) {
+      if (sb.charAt(i) == 'y' && isVowel(sb.charAt(i - 1)))
+        sb.setCharAt(i, 'Y')
+      i += 1
+    }
+
+    // ---- mark_regions --------------------------------------------------
+    // p1 = after the first non-vowel following a vowel (or after a special
+    // prefix); p2 = same rule applied from p1 (`gopast v; gopast non-v`).
+    def markFrom(from: Int): Int = {
+      var j = from
+      while (j < sb.length && !isVowel(sb.charAt(j))) j += 1
+      if (j == sb.length) return sb.length
+      j += 1 // past the vowel
+      while (j < sb.length && isVowel(sb.charAt(j))) j += 1
+      if (j == sb.length) return sb.length
+      j + 1 // past the non-vowel
+    }
+    val prefix =
+      if (startsWith(sb, "gener")) 5
+      else if (startsWith(sb, "commun")) 6
+      else if (startsWith(sb, "arsen")) 5
+      else -1
+    val p1 = if (prefix >= 0) prefix else markFrom(0)
+    val p2 = markFrom(p1)
+
+    @inline def inR1(suffixStart: Int): Boolean = suffixStart >= p1
+    @inline def inR2(suffixStart: Int): Boolean = suffixStart >= p2
+    @inline def endsWith(s: String): Boolean = {
+      val n = sb.length - s.length
+      n >= 0 && {
+        var k = 0
+        var ok = true
+        while (ok && k < s.length) { ok = sb.charAt(n + k) == s.charAt(k); k += 1 }
+        ok
+      }
+    }
+    @inline def hasVowelIn(from: Int, until: Int): Boolean = {
+      var k = from
+      while (k < until) { if (isVowel(sb.charAt(k))) return true; k += 1 }
+      false
+    }
+    def replaceSuffix(len: Int, repl: String): Unit = {
+      sb.delete(sb.length - len, sb.length)
+      sb.append(repl)
+    }
+
+    // ---- Step 0: longest of ' 's 's' ----------------------------------
+    if (endsWith("'s'")) replaceSuffix(3, "")
+    else if (endsWith("'s")) replaceSuffix(2, "")
+    else if (endsWith("'")) replaceSuffix(1, "")
+
+    // ---- Step 1a --------------------------------------------------------
+    if (endsWith("sses")) replaceSuffix(4, "ss")
+    else if (endsWith("ied") || endsWith("ies")) {
+      // replace by i if preceded by more than one letter, otherwise by ie
+      if (sb.length - 3 > 1) replaceSuffix(3, "i") else replaceSuffix(3, "ie")
+    } else if (endsWith("us") || endsWith("ss")) {
+      // do nothing
+    } else if (endsWith("s")) {
+      // delete if the preceding word part contains a vowel NOT immediately
+      // before the s
+      if (hasVowelIn(0, sb.length - 2)) replaceSuffix(1, "")
+    }
+
+    if (exception2.contains(sb.toString)) return sb.toString
+
+    // ---- Step 1b --------------------------------------------------------
+    val w1b = sb.toString
+    if (w1b.endsWith("eedly")) {
+      if (inR1(sb.length - 5)) replaceSuffix(5, "ee")
+    } else if (w1b.endsWith("eed")) {
+      if (inR1(sb.length - 3)) replaceSuffix(3, "ee")
+    } else {
+      val sufLen =
+        if (w1b.endsWith("ingly")) 5
+        else if (w1b.endsWith("edly")) 4
+        else if (w1b.endsWith("ing")) 3
+        else if (w1b.endsWith("ed")) 2
+        else 0
+      if (sufLen > 0 && hasVowelIn(0, sb.length - sufLen)) {
+        replaceSuffix(sufLen, "")
+        if (endsWith("at") || endsWith("bl") || endsWith("iz")) sb.append('e')
+        else if (sb.length >= 2 &&
+            isDouble(sb.charAt(sb.length - 2), sb.charAt(sb.length - 1)))
+          sb.deleteCharAt(sb.length - 1)
+        else if (p1 >= sb.length && shortSyllableEndingAt(sb, sb.length))
+          sb.append('e') // word is short
+      }
+    }
+
+    // ---- Step 1c --------------------------------------------------------
+    if (sb.length > 2) {
+      val last = sb.charAt(sb.length - 1)
+      if ((last == 'y' || last == 'Y') && !isVowel(sb.charAt(sb.length - 2)))
+        sb.setCharAt(sb.length - 1, 'i')
+    }
+
+    // ---- Step 2 (longest suffix, then condition; in R1) -----------------
+    locally {
+      // ordered longest-first so the first textual match is the longest
+      val n = sb.length
+      def at(len: Int) = n - len
+      if (endsWith("ational")) { if (inR1(at(7))) replaceSuffix(7, "ate") }
+      else if (endsWith("ization")) { if (inR1(at(7))) replaceSuffix(7, "ize") }
+      else if (endsWith("fulness")) { if (inR1(at(7))) replaceSuffix(7, "ful") }
+      else if (endsWith("ousness")) { if (inR1(at(7))) replaceSuffix(7, "ous") }
+      else if (endsWith("iveness")) { if (inR1(at(7))) replaceSuffix(7, "ive") }
+      else if (endsWith("tional")) { if (inR1(at(6))) replaceSuffix(6, "tion") }
+      else if (endsWith("biliti")) { if (inR1(at(6))) replaceSuffix(6, "ble") }
+      else if (endsWith("lessli")) { if (inR1(at(6))) replaceSuffix(6, "less") }
+      else if (endsWith("entli")) { if (inR1(at(5))) replaceSuffix(5, "ent") }
+      else if (endsWith("ation")) { if (inR1(at(5))) replaceSuffix(5, "ate") }
+      else if (endsWith("alism")) { if (inR1(at(5))) replaceSuffix(5, "al") }
+      else if (endsWith("aliti")) { if (inR1(at(5))) replaceSuffix(5, "al") }
+      else if (endsWith("ousli")) { if (inR1(at(5))) replaceSuffix(5, "ous") }
+      else if (endsWith("iviti")) { if (inR1(at(5))) replaceSuffix(5, "ive") }
+      else if (endsWith("fulli")) { if (inR1(at(5))) replaceSuffix(5, "ful") }
+      else if (endsWith("enci")) { if (inR1(at(4))) replaceSuffix(4, "ence") }
+      else if (endsWith("anci")) { if (inR1(at(4))) replaceSuffix(4, "ance") }
+      else if (endsWith("abli")) { if (inR1(at(4))) replaceSuffix(4, "able") }
+      else if (endsWith("izer")) { if (inR1(at(4))) replaceSuffix(4, "ize") }
+      else if (endsWith("ator")) { if (inR1(at(4))) replaceSuffix(4, "ate") }
+      else if (endsWith("alli")) { if (inR1(at(4))) replaceSuffix(4, "al") }
+      else if (endsWith("bli")) { if (inR1(at(3))) replaceSuffix(3, "ble") }
+      else if (endsWith("ogi")) {
+        if (inR1(at(3)) && n >= 4 && sb.charAt(n - 4) == 'l')
+          replaceSuffix(3, "og")
+      } else if (endsWith("li")) {
+        if (inR1(at(2)) && n >= 3 && isValidLiEnding(sb.charAt(n - 3)))
+          replaceSuffix(2, "")
+      }
+    }
+
+    // ---- Step 3 (in R1) --------------------------------------------------
+    locally {
+      val n = sb.length
+      def at(len: Int) = n - len
+      if (endsWith("ational")) { if (inR1(at(7))) replaceSuffix(7, "ate") }
+      else if (endsWith("tional")) { if (inR1(at(6))) replaceSuffix(6, "tion") }
+      else if (endsWith("alize")) { if (inR1(at(5))) replaceSuffix(5, "al") }
+      else if (endsWith("icate")) { if (inR1(at(5))) replaceSuffix(5, "ic") }
+      else if (endsWith("iciti")) { if (inR1(at(5))) replaceSuffix(5, "ic") }
+      else if (endsWith("ative")) { if (inR2(at(5))) replaceSuffix(5, "") }
+      else if (endsWith("ical")) { if (inR1(at(4))) replaceSuffix(4, "ic") }
+      else if (endsWith("ness")) { if (inR1(at(4))) replaceSuffix(4, "") }
+      else if (endsWith("ful")) { if (inR1(at(3))) replaceSuffix(3, "") }
+    }
+
+    // ---- Step 4 (in R2) --------------------------------------------------
+    locally {
+      val n = sb.length
+      def at(len: Int) = n - len
+      if (endsWith("ement")) { if (inR2(at(5))) replaceSuffix(5, "") }
+      else if (endsWith("ance")) { if (inR2(at(4))) replaceSuffix(4, "") }
+      else if (endsWith("ence")) { if (inR2(at(4))) replaceSuffix(4, "") }
+      else if (endsWith("able")) { if (inR2(at(4))) replaceSuffix(4, "") }
+      else if (endsWith("ible")) { if (inR2(at(4))) replaceSuffix(4, "") }
+      else if (endsWith("ment")) { if (inR2(at(4))) replaceSuffix(4, "") }
+      else if (endsWith("ent")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("ant")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("ism")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("ate")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("iti")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("ous")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("ive")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("ize")) { if (inR2(at(3))) replaceSuffix(3, "") }
+      else if (endsWith("ion")) {
+        if (inR2(at(3)) && n >= 4 &&
+            (sb.charAt(n - 4) == 's' || sb.charAt(n - 4) == 't'))
+          replaceSuffix(3, "")
+      } else if (endsWith("al")) { if (inR2(at(2))) replaceSuffix(2, "") }
+      else if (endsWith("er")) { if (inR2(at(2))) replaceSuffix(2, "") }
+      else if (endsWith("ic")) { if (inR2(at(2))) replaceSuffix(2, "") }
+    }
+
+    // ---- Step 5 -----------------------------------------------------------
+    locally {
+      val n = sb.length
+      if (n > 0 && sb.charAt(n - 1) == 'e') {
+        if (inR2(n - 1) ||
+            (inR1(n - 1) && !shortSyllableEndingAt(sb, n - 1)))
+          sb.deleteCharAt(n - 1)
+      } else if (n > 1 && sb.charAt(n - 1) == 'l') {
+        if (inR2(n - 1) && sb.charAt(n - 2) == 'l') sb.deleteCharAt(n - 1)
+      }
+    }
+
+    // ---- postlude: Y → y ---------------------------------------------------
+    var k = 0
+    while (k < sb.length) {
+      if (sb.charAt(k) == 'Y') sb.setCharAt(k, 'y')
+      k += 1
+    }
+    sb.toString
+  }
+
+  private def startsWith(sb: java.lang.StringBuilder, s: String): Boolean = {
+    if (sb.length < s.length) return false
+    var k = 0
+    while (k < s.length) {
+      if (sb.charAt(k) != s.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+}
