@@ -1,0 +1,71 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic dense id assignment: id = rank of the key in global sort
+  * order (SURVEY.md §7.3). Scales to arbitrarily large key sets: a range
+  * repartition + per-partition local indexes + a driver-side prefix sum of
+  * partition counts (two narrow jobs) — NO single-partition window.
+  *
+  * Determinism: ids equal the key's global sorted rank regardless of where
+  * the range partitioner places its boundaries, so sampling variance cannot
+  * change the assignment.
+  */
+object DenseId {
+
+  /** Result frame + a release hook for the internal persist (call after the
+    * frame has been written / fully consumed).
+    */
+  final case class Assigned(df: DataFrame, release: () => Unit)
+
+  /** Returns (key, id) for every distinct key of `keys`. */
+  def assign(
+      spark: SparkSession,
+      keys: Dataset[String],
+      partitions: Int,
+      idName: String = "id",
+      keyName: String = "key"): Assigned = {
+    import spark.implicits._
+
+    val sorted = keys
+      .distinct()
+      .repartitionByRange(partitions, col("value"))
+      .sortWithinPartitions("value")
+
+    val indexed: Dataset[(Int, Long, String)] = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var i = -1L
+      it.map { k =>
+        i += 1
+        (pid, i, k)
+      }
+    }
+    indexed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val counts: Map[Int, Long] = indexed
+      .groupBy($"_1")
+      .agg(count(lit(1)).as("c"))
+      .as[(Int, Long)]
+      .collect()
+      .toMap
+    // prefix sum in partition-index order = global sorted order
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    var acc = 0L
+    var p = 0
+    while (p <= maxPid) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
+      p += 1
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    val out = indexed
+      .map { case (pid, localIdx, k) => (k, bOffsets.value(pid) + localIdx) }
+      .toDF(keyName, idName)
+    Assigned(out, () => { indexed.unpersist(); bOffsets.destroy() })
+  }
+}

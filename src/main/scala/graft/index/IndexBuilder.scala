@@ -1,0 +1,250 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.text.{Extract, Lexer}
+import Schema._
+
+/** Distributed inverted-index build (SURVEY.md §2.3, §3.1 rebuild shape):
+  *
+  * pages ── extract+tokenize+per-doc hash agg ──► stage_ft(url, term, tf)
+  *   ├─► docs(docId, url, warc_ts, docLen)      [dense docId = url rank]
+  *   ├─► terms(termId, term, df)                [dense termId = term rank]
+  *   ├─► postings/group=g (termId, docId, tf, docLen)  range-partitioned by
+  *   │     (termId, docId) and sorted — head-term skew splits across
+  *   │     partitions by docId sub-ranges (disjoint-range "salting")
+  *   ├─► blocks/group=g — delta+varint TermBlocks with block-max metadata
+  *   └─► stats, meta.json, _lineage/, build_metrics.json
+  *
+  * Every stage/group is checkpointed ([[Checkpoint]]); a restarted build
+  * skips completed work. The per-doc term-frequency aggregation happens
+  * inside mapPartitions (each doc lives in one partition), so stage_ft needs
+  * NO shuffle — the first shuffles are the id assignments and the posting
+  * range partition.
+  */
+object IndexBuilder {
+
+  final case class BuildConf(
+      partitions: Int = 32, // range partitions for postings/blocks
+      postingGroups: Int = 4, // resumable group count (termId mod groups)
+      blockSize: Int = Blocks.DefaultBlockSize,
+      queryBuckets: Int = 64, // docId buckets aligning WAND scans
+      buildId: String = "build0")
+
+  def ftPath(dir: String) = s"$dir/stage_ft"
+  def docsPath(dir: String) = s"$dir/docs"
+  def termsBasePath(dir: String) = s"$dir/terms_base"
+  def termsPath(dir: String) = s"$dir/terms"
+  def postingsPath(dir: String) = s"$dir/postings"
+  def blocksPath(dir: String) = s"$dir/blocks"
+  def statsPath(dir: String) = s"$dir/stats"
+
+  def build(
+      spark: SparkSession,
+      pages: DataFrame,
+      indexDir: String,
+      conf: BuildConf = BuildConf()): BuildMetrics = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val cp = new Checkpoint(spark, indexDir, conf.buildId)
+
+    // ---- stage ft: extract → tokenize → per-doc term counts (no shuffle)
+    cp.stage("ft") {
+      val pagesDs = pages
+        .select("url", "warc_ts", "html", "text")
+        .as[(String, java.sql.Timestamp, Array[Byte], String)]
+      val ft = pagesDs.mapPartitions { it =>
+        it.flatMap { case (url, _, html, text) =>
+          Extract.extractText(html, text) match {
+            case None => Iterator.empty // malformed XML → doc skipped
+            case Some(content) =>
+              val counts =
+                new java.util.HashMap[String, Integer]()
+              Lexer.tokenize(content).foreach { tok =>
+                counts.merge(tok, 1, (a, b) => a + b)
+              }
+              val out = new Array[FtRow](counts.size)
+              var i = 0
+              val e = counts.entrySet().iterator()
+              while (e.hasNext) {
+                val kv = e.next()
+                out(i) = FtRow(url, kv.getKey, kv.getValue)
+                i += 1
+              }
+              out.iterator
+          }
+        }
+      }
+      ft.write.mode("overwrite").parquet(ftPath(indexDir))
+      spark.read.parquet(ftPath(indexDir)).count()
+    }
+    val ft = spark.read.parquet(ftPath(indexDir))
+
+    // ---- stage docs: docLen per url (A2/A3) + dense docIds by url rank
+    cp.stage("docs") {
+      val docLen = ft.groupBy($"url")
+        .agg(sum($"tf").cast("long").as("docLen"))
+      val assigned = DenseId.assign(
+        spark, docLen.select($"url".as("value")).as[String],
+        conf.partitions, idName = "docId", keyName = "url")
+      val pageMeta = pages.select($"url", $"warc_ts")
+      val docs = assigned.df
+        .join(docLen, "url")
+        .join(pageMeta, "url")
+        .select($"docId", $"url", $"warc_ts", $"docLen")
+      docs.write.mode("overwrite").parquet(docsPath(indexDir))
+      assigned.release()
+      spark.read.parquet(docsPath(indexDir)).count()
+    }
+    val docs = spark.read.parquet(docsPath(indexDir))
+
+    // ---- stage terms_base: dense termIds by term rank (UTF-8 byte order)
+    cp.stage("terms_base") {
+      val assigned = DenseId.assign(
+        spark, ft.select($"term".as("value")).as[String],
+        conf.partitions, idName = "termId", keyName = "term")
+      assigned.df.write.mode("overwrite").parquet(termsBasePath(indexDir))
+      assigned.release()
+      spark.read.parquet(termsBasePath(indexDir)).count()
+    }
+    val termsBase = spark.read.parquet(termsBasePath(indexDir))
+
+    // ---- stage postings (grouped, resumable): join ids, range-partition by
+    // (termId, docId), sort, write. Groups = termId mod postingGroups.
+    val needPostings =
+      (0 until conf.postingGroups).exists(g => !cp.done("postings", g))
+    if (needPostings) {
+      val joined = ft
+        .join(docs.select($"url", $"docId", $"docLen"), "url")
+        .join(termsBase, "term")
+        .select(
+          $"termId", $"docId", $"tf".cast("int").as("tf"),
+          $"docLen".cast("int").as("docLen"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val perGroupParts =
+        math.max(1, conf.partitions / conf.postingGroups)
+      (0 until conf.postingGroups).foreach { g =>
+        cp.stage("postings", g) {
+          val grp = joined
+            .filter(pmod($"termId", lit(conf.postingGroups)) === g)
+            .repartitionByRange(perGroupParts, $"termId", $"docId")
+            .sortWithinPartitions($"termId", $"docId")
+          grp.write.mode("overwrite")
+            .parquet(s"${postingsPath(indexDir)}/group=$g")
+          spark.read.parquet(s"${postingsPath(indexDir)}/group=$g").count()
+        }
+      }
+      joined.unpersist()
+    }
+    val postings = spark.read.parquet(
+      (0 until conf.postingGroups)
+        .map(g => s"${postingsPath(indexDir)}/group=$g"): _*)
+
+    // ---- stage terms: df = postings per termId (A4; unique (term,doc))
+    cp.stage("terms") {
+      val df = postings.groupBy($"termId").agg(count(lit(1)).as("df"))
+      termsBase.join(df, "termId")
+        .select($"termId", $"term", $"df")
+        .write.mode("overwrite").parquet(termsPath(indexDir))
+      spark.read.parquet(termsPath(indexDir)).count()
+    }
+
+    // ---- stage stats (A5)
+    cp.stage("stats") {
+      docs.agg(
+        count(lit(1)).cast("long").as("docCount"),
+        sum($"docLen").cast("long").as("totalTokens"))
+        .write.mode("overwrite").parquet(statsPath(indexDir))
+      1L
+    }
+    val statsRow = spark.read.parquet(statsPath(indexDir))
+      .as[Stats].collect()(0)
+    val bucketSize = math.max(
+      1L, (statsRow.docCount + conf.queryBuckets - 1) / conf.queryBuckets)
+
+    // ---- stage blocks (grouped, resumable): delta+varint + block-max
+    (0 until conf.postingGroups).foreach { g =>
+      cp.stage("blocks", g) {
+        val grp = spark.read
+          .parquet(s"${postingsPath(indexDir)}/group=$g").as[Posting]
+        val bs = conf.blockSize
+        val blocks = grp.mapPartitions(it =>
+          Blocks.encode(it, bs, bucketSize))
+        blocks.write.mode("overwrite")
+          .parquet(s"${blocksPath(indexDir)}/group=$g")
+        spark.read.parquet(s"${blocksPath(indexDir)}/group=$g").count()
+      }
+    }
+
+    // ---- meta + metrics + lineage view
+    val postingCount = postings.count()
+    val termCount = spark.read.parquet(termsPath(indexDir)).count()
+    val partCounts = postings
+      .groupBy(spark_partition_id().as("p")).agg(count(lit(1)).as("c"))
+      .select($"c").as[Long].collect()
+    val perPartAvg =
+      if (partCounts.isEmpty) 0.0 else partCounts.sum.toDouble / partCounts.length
+    val perPartMax = if (partCounts.isEmpty) 0L else partCounts.max
+    val dfStats = spark.read.parquet(termsPath(indexDir))
+      .agg(max($"df").as("m"), avg($"df").as("a"))
+      .as[(Long, Double)].collect()(0)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val metrics = BuildMetrics(
+      buildId = conf.buildId,
+      docCount = statsRow.docCount,
+      totalTokens = statsRow.totalTokens,
+      termCount = termCount,
+      postingCount = postingCount,
+      docsPerSec = statsRow.docCount * 1000.0 / math.max(1L, wallMs),
+      wallMs = wallMs,
+      postingsPerPartitionAvg = perPartAvg,
+      postingsPerPartitionMax = perPartMax,
+      skewRatio = if (dfStats._2 == 0.0) 0.0 else dfStats._1 / dfStats._2)
+    writeMeta(spark, indexDir, conf, bucketSize, metrics)
+    metrics
+  }
+
+  private def writeMeta(
+      spark: SparkSession,
+      indexDir: String,
+      conf: BuildConf,
+      bucketSize: Long,
+      m: BuildMetrics): Unit = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$indexDir/meta.json")
+    val out = fs.create(p, true)
+    out.write(
+      (s"""{"buildId":"${conf.buildId}","blockSize":${conf.blockSize},""" +
+        s""""bucketSize":$bucketSize,"queryBuckets":${conf.queryBuckets},""" +
+        s""""postingGroups":${conf.postingGroups},""" +
+        s""""docCount":${m.docCount},"totalTokens":${m.totalTokens},""" +
+        s""""termCount":${m.termCount},"postingCount":${m.postingCount},""" +
+        s""""docsPerSec":${m.docsPerSec},"wallMs":${m.wallMs},""" +
+        s""""postingsPerPartitionAvg":${m.postingsPerPartitionAvg},""" +
+        s""""postingsPerPartitionMax":${m.postingsPerPartitionMax},""" +
+        s""""skewRatio":${m.skewRatio}}""").getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Reads meta.json as a simple key→string map. */
+  def readMeta(spark: SparkSession, indexDir: String): Map[String, String] = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$indexDir/meta.json")
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    val s = new String(bytes, StandardCharsets.UTF_8)
+    "\"(\\w+)\":(\"[^\"]*\"|[-0-9.eE]+)".r
+      .findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\""))
+      .toMap
+  }
+}

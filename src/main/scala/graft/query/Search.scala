@@ -1,0 +1,193 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, Schema}
+import graft.index.Schema.{Posting, Stats, TermEntry}
+import graft.score.Scoring
+import graft.text.Lexer
+
+/** Distributed query engine (SURVEY.md §2.5, §3.2 rebuild shape).
+  *
+  * Per query: (1) driver tokenizes; (2) the dictionary scan expands tokens
+  * into (termId, weight) — full-fidelity reference semantics, distributed,
+  * with complete (no-false-negative) pushdown prefilters; (3) driver
+  * computes idf scalars; (4) candidate postings/blocks are scanned with
+  * `termId IN (...)` pushed to parquet; (5) scores sum per doc in
+  * termId-ascending order (bit-identical to the oracle); (6) global top-k.
+  */
+object Search {
+
+  sealed trait Method
+  case object Bm25 extends Method
+  case object Tfidf extends Method
+
+  /** One expanded query term with everything scoring needs. */
+  final case class QueryTerm(
+      termId: Long, term: String, df: Long, weight: Float, idf: Float)
+
+  final case class QueryPlan(
+      terms: Vector[QueryTerm], // sorted by termId asc (= term byte order)
+      stats: Stats,
+      avgdl: Float)
+
+  def loadStats(spark: SparkSession, indexDir: String): Stats = {
+    import spark.implicits._
+    spark.read.parquet(IndexBuilder.statsPath(indexDir)).as[Stats].head()
+  }
+
+  /** Q1–Q5: tokenize, expand against the dictionary, attach idf.
+    *
+    * Scale note: the reference scans the whole dictionary per token
+    * (model.rs:96). Here exact-only tokens (byte length ≤ 3 → edit budget
+    * 0) become an `IN` filter (full pushdown), and fuzzy tokens scan only
+    * terms with `octet_length(term) ≤ max(1.7·qlen, qlen+2)` — a complete
+    * prefilter: prefix hits need ratio ≥ 0.5/0.85 ⇒ tlen ≤ 1.7·qlen, and
+    * Levenshtein hits need |tlen−qlen| ≤ 2.
+    */
+  def plan(
+      spark: SparkSession,
+      indexDir: String,
+      query: String,
+      method: Method,
+      params: Scoring.Params = Scoring.Params()): QueryPlan = {
+    import spark.implicits._
+    val stats = loadStats(spark, indexDir)
+    val avgdl = Scoring.avgdl(stats.totalTokens, stats.docCount)
+
+    val tokens = Lexer.tokenize(query).toVector.distinct
+    if (tokens.isEmpty)
+      return QueryPlan(Vector.empty, stats, avgdl)
+
+    val terms = spark.read.parquet(IndexBuilder.termsPath(indexDir))
+      .as[TermEntry]
+
+    val withLen = tokens.map(t => (t, Expand.utf8Len(t)))
+    val exactOnly = withLen.filter { case (_, l) => Expand.maxDist(l) == 0 }
+    val fuzzy = withLen.filter { case (_, l) => Expand.maxDist(l) > 0 }
+
+    val exactPart =
+      if (exactOnly.isEmpty) spark.emptyDataset[(Long, String, Long, Float)]
+      else terms
+        .filter($"term".isin(exactOnly.map(_._1): _*))
+        .map(t => (t.termId, t.term, t.df, 1.0f))
+
+    val fuzzyPart =
+      if (fuzzy.isEmpty) spark.emptyDataset[(Long, String, Long, Float)]
+      else {
+        val maxLen = fuzzy.map { case (_, l) =>
+          math.max((l * 1.7).toInt, l + 2)
+        }.max
+        val fz = fuzzy // stable local for closure
+        terms
+          .filter(octet_length($"term") <= maxLen)
+          .flatMap { t =>
+            var best = -1.0f
+            fz.foreach { case (tok, qlen) =>
+              Expand.matchTerm(tok, qlen, t.term).foreach { w =>
+                if (w > best) best = w
+              }
+            }
+            if (best >= 0.0f) Iterator.single((t.termId, t.term, t.df, best))
+            else Iterator.empty
+          }
+      }
+
+    val collected = exactPart.union(fuzzyPart).collect()
+    // cross-token max-merge (Q3) — exact duplicates across the two parts
+    // can't happen (disjoint token sets), but a fuzzy token can reach an
+    // exact token's term; keep the max weight per termId.
+    val merged = collected
+      .groupBy(_._1)
+      .map { case (_, rows) => rows.maxBy(_._4) }
+      .toVector
+      .sortBy(_._1)
+
+    val n = stats.docCount
+    val qts = merged.map { case (termId, term, df, weight) =>
+      val idf = method match {
+        case Bm25 => Scoring.bm25Idf(n, df)
+        case Tfidf => Scoring.tfidfIdf(n, df)
+      }
+      QueryTerm(termId, term, df, weight, idf)
+    }
+    QueryPlan(qts, stats, avgdl)
+  }
+
+  /** Naive scorer (Q6/Q7 as join-aggregate): exact reference scores for
+    * every doc containing ≥1 expanded term; all other docs score exactly 0
+    * in the reference too (SURVEY.md Q8). Returns (docId, score).
+    */
+  def scoreNaive(
+      spark: SparkSession,
+      indexDir: String,
+      qp: QueryPlan,
+      method: Method,
+      params: Scoring.Params = Scoring.Params()): DataFrame = {
+    import spark.implicits._
+    if (qp.terms.isEmpty || (method == Bm25 && qp.avgdl == 0.0f))
+      return spark.emptyDataset[(Long, Float)].toDF("docId", "score")
+
+    val termInfo: Map[Long, (Float, Float)] =
+      qp.terms.map(t => t.termId -> (t.weight, t.idf)).toMap
+    val bTermInfo = spark.sparkContext.broadcast(termInfo)
+    val avgdl = qp.avgdl
+    val p = params
+    val m = method
+
+    val postings = spark.read
+      .parquet(IndexBuilder.postingsPath(indexDir) + "/group=*")
+      .filter($"termId".isin(qp.terms.map(_.termId): _*))
+      .as[Posting]
+
+    postings
+      .groupByKey(_.docId)
+      .mapGroups { (docId, it) =>
+        // deterministic Float sum: termId ascending
+        val rows = it.toArray.sortBy(_.termId)
+        var s = 0.0f
+        rows.foreach { r =>
+          val (weight, idf) = bTermInfo.value(r.termId)
+          s += (m match {
+            case Bm25 => Scoring.bm25Contrib(
+              r.tf.toFloat, r.docLen.toFloat, avgdl, idf, weight, p)
+            case Tfidf => Scoring.tfidfContrib(
+              r.tf.toFloat, r.docLen.toFloat, idf, weight)
+          })
+        }
+        (docId, s)
+      }
+      .toDF("docId", "score")
+  }
+
+  /** Server-semantics top-k (`server.rs:85-90`): positive scores only,
+    * deterministic tiebreak (score desc, docId asc), urls attached.
+    * `useWand = true` routes through the block-max WAND operator instead of
+    * the naive join-aggregate — results are identical (property-tested).
+    */
+  def searchTop(
+      spark: SparkSession,
+      indexDir: String,
+      query: String,
+      method: Method,
+      k: Int,
+      useWand: Boolean = true,
+      params: Scoring.Params = Scoring.Params()): DataFrame = {
+    import spark.implicits._
+    val qp = plan(spark, indexDir, query, method, params)
+    val scored =
+      if (useWand) Wand.topK(spark, indexDir, qp, method, k, params)
+      else scoreNaive(spark, indexDir, qp, method, params)
+    val top = scored
+      .filter($"score" > 0.0f)
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+    val docs = spark.read.parquet(IndexBuilder.docsPath(indexDir))
+      .select($"docId", $"url")
+    // ≤ k rows on the left: broadcast THEM, stream the (huge) docs table
+    docs.join(broadcast(top), "docId")
+      .orderBy($"score".desc, $"docId".asc)
+      .select($"url", $"score", $"docId")
+  }
+}
