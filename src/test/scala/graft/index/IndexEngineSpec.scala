@@ -1,0 +1,170 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synth
+import graft.oracle.RefModel
+import graft.query.{Search, Wand}
+import graft.text.Extract
+
+/** End-to-end rank-identity suite (the `sbt -batch test` gate from
+  * BASELINE.json.input_hint): distributed build + both query paths vs the
+  * in-memory oracle, plus resumability and determinism checks.
+  */
+class IndexEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val nDocs = 400
+  private lazy val indexDir =
+    java.nio.file.Files.createTempDirectory("graft_spec_idx_").toString
+
+  private lazy val oracle: RefModel = {
+    val m = new RefModel()
+    Synth.pages(nDocs).foreach { p =>
+      Extract.extractText(p.html, p.text).foreach(t =>
+        m.addDocument(p.url, t, p.warc_ts.getTime))
+    }
+    m
+  }
+
+  private def pagesDf = spark
+    .createDataset(Synth.pages(nDocs).map(p =>
+      Schema.Page(p.url, p.warc_ts, p.html, p.text, p.lang)))
+    .toDF()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    IndexBuilder.build(spark, pagesDf, indexDir,
+      IndexBuilder.BuildConf(partitions = 8, postingGroups = 2,
+        queryBuckets = 8))
+  }
+
+  // the reference benchmark queries + fuzzy/duplicate/stop/number/punct/
+  // empty coverage (FIXTURES.md §2)
+  private val querySet = Seq(
+    "opengl",
+    "texture array shader",
+    "missingkeywordthatdoesnotexist",
+    "textur aray shaderz", // 1–2 edit typos + prefix
+    "network network network", // duplicated words → max-weight once
+    "the is and of", // stop-words only
+    "", // empty prompt
+    "42 . data", // number + punctuation + head term
+    "caching pointers",
+    "communicating nationally")
+
+  private def oracleTop(q: String, m: RefModel.RankMethod, k: Int = 10) =
+    oracle.searchTop(q, m, k)
+
+  private def engineTop(q: String, m: Search.Method, useWand: Boolean,
+      k: Int = 10): Vector[(String, Float)] =
+    Search.searchTop(spark, indexDir, q, m, k, useWand = useWand)
+      .select($"url", $"score").as[(String, Float)].collect().toVector
+
+  for (q <- querySet) {
+    test(s"rank identity [naive, bm25]: \"$q\"") {
+      assert(engineTop(q, Search.Bm25, useWand = false) ==
+        oracleTop(q, RefModel.Bm25))
+    }
+    test(s"rank identity [wand, bm25]: \"$q\"") {
+      assert(engineTop(q, Search.Bm25, useWand = true) ==
+        oracleTop(q, RefModel.Bm25))
+    }
+    test(s"rank identity [naive, tfidf]: \"$q\"") {
+      assert(engineTop(q, Search.Tfidf, useWand = false) ==
+        oracleTop(q, RefModel.Tfidf))
+    }
+    test(s"rank identity [wand, tfidf]: \"$q\"") {
+      assert(engineTop(q, Search.Tfidf, useWand = true) ==
+        oracleTop(q, RefModel.Tfidf))
+    }
+  }
+
+  test("WAND == naive for larger k than matches (k=1000)") {
+    val q = "texture array shader"
+    assert(engineTop(q, Search.Bm25, useWand = true, k = 1000) ==
+      engineTop(q, Search.Bm25, useWand = false, k = 1000))
+  }
+
+  test("engine stats match oracle (docCount, totalTokens, dictionary)") {
+    val stats = Search.loadStats(spark, indexDir)
+    assert(stats.docCount == oracle.docs.size.toLong)
+    assert(stats.totalTokens == oracle.totalTokens)
+    val termCount =
+      spark.read.parquet(IndexBuilder.termsPath(indexDir)).count()
+    assert(termCount == oracle.gtf.size.toLong)
+  }
+
+  test("df column equals oracle gtf for every term") {
+    val dfMap = spark.read.parquet(IndexBuilder.termsPath(indexDir))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    assert(dfMap.size == oracle.gtf.size)
+    oracle.gtf.foreach { case (term, df) =>
+      assert(dfMap(term) == df, s"term=$term")
+    }
+  }
+
+  test("docIds are the global url sort rank (deterministic)") {
+    val docs = spark.read.parquet(IndexBuilder.docsPath(indexDir))
+      .select($"docId", $"url").as[(Long, String)].collect().sortBy(_._1)
+    val urls = docs.map(_._2)
+    assert(urls.sameElements(urls.sorted))
+    assert(docs.map(_._1).sameElements(docs.indices.map(_.toLong)))
+  }
+
+  test("build resumes: deleting one group's marker re-runs only that group " +
+      "and reproduces identical postings") {
+    val before = spark.read
+      .parquet(IndexBuilder.postingsPath(indexDir) + "/group=*")
+      .as[Schema.Posting].collect().sortBy(p => (p.termId, p.docId)).toVector
+
+    // simulate a failed group: drop marker + output of group 1
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$indexDir/_lineage/build0/postings__1.json"), false)
+    fs.delete(new Path(s"${IndexBuilder.postingsPath(indexDir)}/group=1"),
+      true)
+
+    IndexBuilder.build(spark, pagesDf, indexDir,
+      IndexBuilder.BuildConf(partitions = 8, postingGroups = 2,
+        queryBuckets = 8))
+
+    val after = spark.read
+      .parquet(IndexBuilder.postingsPath(indexDir) + "/group=*")
+      .as[Schema.Posting].collect().sortBy(p => (p.termId, p.docId)).toVector
+    assert(after == before)
+  }
+
+  test("lineage records cover all stages and groups") {
+    val cp = new Checkpoint(spark, indexDir, "build0")
+    val recs = cp.readAll()
+    val stages = recs.map(r => (r.stage, r.group)).toSet
+    assert(stages.contains(("ft", -1)))
+    assert(stages.contains(("docs", -1)))
+    assert(stages.contains(("postings", 0)) && stages.contains(("postings", 1)))
+    assert(stages.contains(("blocks", 0)) && stages.contains(("blocks", 1)))
+    assert(recs.forall(_.status == "done"))
+  }
+
+  test("posting blocks decode back to exactly the postings table") {
+    val fromBlocks = spark.read
+      .parquet(IndexBuilder.blocksPath(indexDir) + "/group=*")
+      .as[Schema.TermBlock]
+      .flatMap { b =>
+        val d = Blocks.decode(b)
+        (0 until b.n).iterator.map(i =>
+          Schema.Posting(b.termId, d.docIds(i), d.tfs(i), d.docLens(i)))
+      }
+      .collect().sortBy(p => (p.termId, p.docId)).toVector
+    val fromPostings = spark.read
+      .parquet(IndexBuilder.postingsPath(indexDir) + "/group=*")
+      .as[Schema.Posting]
+      .collect().sortBy(p => (p.termId, p.docId)).toVector
+    assert(fromBlocks == fromPostings)
+  }
+}
