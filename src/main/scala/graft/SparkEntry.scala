@@ -1,13 +1,142 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Corpus, Dedup, FtSql, Multimodal, TextStats}
+import graft.query.Search
+
+/** Driver contract — see SURVEY.md §7 and TESTDATA.md.
+  *
+  * Two query families:
+  *   - SQL-parity operators (suffix `_sql`-less names with oracleSql
+  *     entries): DuckDB-checkable analogs over the driver's parquet tables.
+  *   - Full-fidelity engine operators (no oracleSql → rows-only check):
+  *     stemming/fuzzy/WAND/LSH paths whose correctness gate is the
+  *     scalatest oracle suite (`sbt -batch test`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: build the inverted index over sf0.001 documents (cached,
+    * checkpointed) and answer a BM25 query via block-max WAND.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = Corpus.ensureIndex(spark, sfDir)
+    Search.searchTop(spark, idx, "dup data", Search.Bm25, 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- generic relational operators (TPC-H-ish sanity) ----------------
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q2_join_topk" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy(col("sum_qty").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q3_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey")
+    }),
+    "q4_events_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")),
+
+    // ---- fulltext: SQL-parity analogs over documents ---------------------
+    "ft_doclen" -> ((s, dir) => FtSql.doclen(s, dir).orderBy("doc_id")),
+    "ft_df" -> ((s, dir) => FtSql.df(s, dir).orderBy("tok")),
+    "ft_stats" -> ((s, dir) => FtSql.stats(s, dir)),
+    "ft_tfidf_topk" -> ((s, dir) => FtSql.tfidfTopK(s, dir)),
+    "ft_bm25_topk" -> ((s, dir) => FtSql.bm25TopK(s, dir)),
+
+    // ---- fulltext: full-fidelity engine (rows-only; oracle = scalatest) --
+    "ft_engine_build_metrics" -> ((s, dir) => Corpus.buildMetricsDf(s, dir)),
+    "ft_engine_bm25_wand" -> ((s, dir) => {
+      val idx = Corpus.ensureIndex(s, dir)
+      Search.searchTop(s, idx, "dup data", Search.Bm25, 10)
+    }),
+    "ft_engine_tfidf" -> ((s, dir) => {
+      val idx = Corpus.ensureIndex(s, dir)
+      Search.searchTop(s, idx, "data query", Search.Tfidf, 10)
+    }),
+    "ft_engine_fuzzy" -> ((s, dir) => {
+      val idx = Corpus.ensureIndex(s, dir)
+      // 1-edit typo + prefix expansion through the full reference semantics
+      Search.searchTop(s, idx, "dupp", Search.Bm25, 10)
+    }),
+
+    // ---- dedup ------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s, dir).orderBy("doc_id")),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(s, dir)),
+
+    // ---- similarity search -------------------------------------------------
+    "ann_brute_cosine" -> ((s, dir) => Ann.bruteTopK(s, dir)),
+    "ann_lsh_cosine" -> ((s, dir) => Ann.lshTopK(s, dir)),
+
+    // ---- text analysis -----------------------------------------------------
+    "text_langid" -> ((s, dir) => TextStats.langId(s, dir)),
+    "text_quality" -> ((s, dir) => TextStats.quality(s, dir)),
+    "text_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),
+    "text_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
+
+    // ---- multimodal plumbing (decode STUBBED — no codecs in container) ----
+    "mm_image_meta" -> ((s, dir) => Multimodal.imageMeta(s, dir)),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q2_join_topk" ->
+      ("SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_orderkey ORDER BY sum_qty DESC, l_orderkey ASC LIMIT 10"),
+    "q3_window" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber FROM (" +
+        "SELECT l_suppkey, l_orderkey, l_linenumber, row_number() OVER (" +
+        "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, " +
+        "l_linenumber) AS rn FROM lineitem) t WHERE rn = 1 " +
+        "ORDER BY l_suppkey"),
+    "q4_events_agg" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "count(DISTINCT user_id) AS users, " +
+        "round(sum(value), 2) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "ft_doclen" -> (FtSql.doclenSql + " ORDER BY doc_id"),
+    "ft_df" -> (FtSql.dfSql + " ORDER BY tok"),
+    "ft_stats" -> FtSql.statsSql,
+    "ft_tfidf_topk" -> FtSql.tfidfTopKSql(),
+    "ft_bm25_topk" -> FtSql.bm25TopKSql(),
+    "dedup_exact" -> (Dedup.exactSql + " ORDER BY doc_id"),
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "ann_brute_cosine" -> Ann.bruteTopKSql(),
+    "text_quality" -> TextStats.qualitySql,
+    "text_token_counts" -> TextStats.tokenCountsSql)
 }

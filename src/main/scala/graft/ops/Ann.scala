@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * ARRAY<FLOAT>, label): brute-force cosine top-k as the exactness
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale
+  * path (shuffle ∝ candidates, not corpus).
+  */
+object Ann {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** dot(a, b) via zip_with + aggregate — sequential fold, deterministic. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k neighbors of `queryVecId` (brute force: one scan,
+    * one narrow top-k — the correct baseline and the fallback path).
+    */
+  def bruteTopK(
+      spark: SparkSession,
+      sfDir: String,
+      queryVecId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))))
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"), col("cos").as("c0"))
+      .orderBy(col("c0").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
+  def bruteTopKSql(queryVecId: Long = 0L, k: Int = 10): String =
+    s"""SELECT e.vec_id,
+       |  round(list_cosine_similarity(e.embedding, q.embedding)::DOUBLE, 3) AS cos
+       |FROM embeddings e, (SELECT embedding FROM embeddings
+       |                    WHERE vec_id = $queryVecId) q
+       |WHERE e.vec_id <> $queryVecId
+       |ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+       |         e.vec_id ASC
+       |LIMIT $k""".stripMargin
+
+  /** Deterministic random hyperplanes (seeded splitmix64), dim × planes. */
+  private def hyperplanes(dim: Int, planes: Int, seed: Long)
+      : Array[Array[Double]] = {
+    val rng = new graft.corpus.Synth.Rng(seed)
+    Array.fill(planes, dim) {
+      // Box-Muller-free symmetric: uniform in [-1, 1) is fine for LSH signs
+      (rng.nextLong() >>> 11) * (2.0 / (1L << 53)) - 1.0
+    }
+  }
+
+  /** Signature = sign bits against `planes` hyperplanes → LongType. */
+  def signatures(
+      spark: SparkSession,
+      sfDir: String,
+      planes: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val hp = hyperplanes(dim, planes, seed)
+    val bHp = spark.sparkContext.broadcast(hp)
+    emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var sig = 0L
+        var p = 0
+        val hps = bHp.value
+        while (p < hps.length) {
+          var s = 0.0
+          var i = 0
+          val h = hps(p)
+          val n = math.min(h.length, v.length)
+          while (i < n) { s += h(i) * v(i); i += 1 }
+          if (s >= 0) sig |= (1L << p)
+          p += 1
+        }
+        (id, sig)
+      }
+      .toDF("vec_id", "sig")
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's signature in ≥1 of
+    * `tables` independent hash tables; exact cosine re-ranks candidates.
+    * Recall < 1 by construction; at scale the scan touches only matching
+    * buckets (signature is a join key → shuffle ∝ bucket sizes).
+    */
+  /** All tables' signatures in ONE scan: (vec_id, tbl, sig). */
+  def tableSignatures(
+      spark: SparkSession,
+      sfDir: String,
+      planes: Int,
+      tables: Int,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val hp = (0 until tables).map(t =>
+      hyperplanes(dim, planes, seed + t)).toArray
+    val bHp = spark.sparkContext.broadcast(hp)
+    emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val hps = bHp.value
+        hps.indices.iterator.map { t =>
+          var sig = 0L
+          var p = 0
+          while (p < hps(t).length) {
+            var s = 0.0
+            var i = 0
+            val h = hps(t)(p)
+            val n = math.min(h.length, v.length)
+            while (i < n) { s += h(i) * v(i); i += 1 }
+            if (s >= 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, t, sig)
+        }
+      }
+      .toDF("vec_id", "tbl", "sig")
+  }
+
+  def lshTopK(
+      spark: SparkSession,
+      sfDir: String,
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      planes: Int = 8,
+      tables: Int = 8): DataFrame = {
+    val sigs = tableSignatures(spark, sfDir, planes, tables)
+    val qSig = sigs.filter(col("vec_id") === queryVecId)
+      .select(col("tbl").as("qtbl"), col("sig").as("qsig"))
+    val cands = sigs.join(broadcast(qSig),
+        col("tbl") === col("qtbl") && col("sig") === col("qsig"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select("vec_id").distinct()
+
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    e.join(cands, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))))
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
+        col("cos").as("c0"))
+      .orderBy(col("c0").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH buckets. */
+  def cosineNearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      threshold: Double = 0.35,
+      planes: Int = 4): DataFrame = {
+    val sigs = signatures(spark, sfDir, planes)
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    val cand = a.join(b,
+      col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val e = emb(spark, sfDir)
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+        "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        "id_b")
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+}

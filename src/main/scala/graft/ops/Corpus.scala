@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, Schema}
+
+/** Adapters between the driver's `/root/testdata` tables and the engine's
+  * corpus shape, plus per-sf index caching (checkpoint markers make repeat
+  * builds no-ops).
+  */
+object Corpus {
+
+  /** documents(doc_id, text, lang, source, n_chars) → Page rows. The url is
+    * zero-padded so lexical url order == doc_id order, making docIds equal
+    * doc_ids (deterministic, debuggable).
+    */
+  def documentsAsPages(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        format_string("doc%012d", col("doc_id")).as("url"),
+        (lit(Timestamp.valueOf("2026-01-01 00:00:00"))
+          .cast("timestamp")).as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("text"),
+        col("lang"))
+  }
+
+  /** Stable per-sf index location; build skips entirely when meta.json
+    * already exists (all stages checkpointed).
+    */
+  def indexDirFor(sfDir: String): String =
+    "/tmp/graft_idx_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  def ensureIndex(spark: SparkSession, sfDir: String): String = {
+    val dir = indexDirFor(sfDir)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/meta.json"))) {
+      IndexBuilder.build(spark, documentsAsPages(spark, sfDir), dir)
+    }
+    dir
+  }
+
+  /** Build metrics of the cached index as a 1-row DataFrame. */
+  def buildMetricsDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIndex(spark, sfDir)
+    val meta = IndexBuilder.readMeta(spark, dir)
+    import spark.implicits._
+    Seq((
+      meta("buildId"),
+      meta("docCount").toLong,
+      meta("totalTokens").toLong,
+      meta("termCount").toLong,
+      meta("postingCount").toLong,
+      meta("wallMs").toLong,
+      meta("skewRatio").toDouble))
+      .toDF("buildId", "docCount", "totalTokens", "termCount",
+        "postingCount", "wallMs", "skewRatio")
+  }
+}

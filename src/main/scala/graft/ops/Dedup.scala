@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash and n-gram Jaccard. All are driven by Spark
+  * built-ins (codegen'd) up to the final per-bucket pair generation, which
+  * is bounded by LSH bucket sizes — no O(n²) cross joins at corpus scale.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact dedup: hash-groupBy on content. (doc_id = representative min,
+    * n = group size, text_md5 = content hash.) Scale: one shuffle on the
+    * 128-bit digest; skew-free (uniform hash keys).
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .select("doc_id", "n", "text_md5")
+
+  val exactSql: String =
+    "SELECT min(doc_id) AS doc_id, count(*) AS n, md5(text) AS text_md5 " +
+      "FROM documents GROUP BY md5(text)"
+
+  /** Word 3-shingles as one column (xxhash64 per shingle → LongType). */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir).select(
+      col("doc_id"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+    // sliding 3-grams via transform over indices (codegen-friendly)
+    toks
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+      .withColumn("sh",
+        transform(sequence(lit(0), col("n") - 3), i =>
+          xxhash64(concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3)))))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: numHashes permutations h_i(x) = (a_i·x + b_i) mod p
+    * computed as numHashes aggregate expressions in ONE hash aggregate —
+    * map-side partial min, no per-permutation shuffle.
+    */
+  def minhashSignatures(
+      spark: SparkSession,
+      sfDir: String,
+      numHashes: Int = 32): DataFrame = {
+    // p = 2^31-1 keeps a·x+b < 2^62: no Long overflow under ANSI mode
+    val p = 2147483647L
+    val rnd = new scala.util.Random(42)
+    val coef = Array.fill(numHashes)(
+      (1 + rnd.nextLong(p - 1), rnd.nextLong(p)))
+    val sh = shingles(spark, sfDir)
+      .withColumn("x", pmod(col("shingle"), lit(p)))
+    val aggs = coef.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * a + b, lit(p))).as(s"mh$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand
+    * = numHashes), bucket-join within (band, bandHash), verify with the
+    * signature-estimated Jaccard ≥ threshold. Pairs are generated per
+    * bucket via a self-join on the band key — at scale each bucket is tiny
+    * (collision = near-dup candidate), so the join output is ~linear.
+    */
+  def minhashPairs(
+      spark: SparkSession,
+      sfDir: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val rows = numHashes / bands
+    val sig = minhashSignatures(spark, sfDir, numHashes)
+    val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
+    val withArr = sig.select(col("doc_id"), array(sigCols: _*).as("sig"))
+
+    val banded = withArr.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(concat_ws("_",
+            (0 until rows).map(r =>
+              element_at(col("sig"),
+                b * rows + r + 1).cast("string")): _*)).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val a = banded.select(col("doc_id"), col("band"), col("bh")).as("a")
+    val b = banded.select(col("doc_id"), col("band"), col("bh")).as("b")
+    // distinct over the slim (id, id) pairs only; signatures joined back
+    val cand = a.join(b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val slimSig = withArr
+    val pairs = cand
+      .join(slimSig.select(col("doc_id").as("id_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(slimSig.select(col("doc_id").as("id_b"),
+        col("sig").as("sig_b")), "id_b")
+
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3)
+        .as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash per doc: sign of tf-weighted bit sums of token hashes.
+    * Computed per doc inside one hash aggregate (no wide shuffle).
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, sfDir).select(
+      col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+        .as("tok"))
+    toks
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val acc = new Array[Long](64)
+        it.foreach { case (_, _, tf, h) =>
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) acc(bit) += tf
+            else acc(bit) -= tf
+            bit += 1
+          }
+        }
+        var sig = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (acc(bit) > 0) sig |= (1L << bit)
+          bit += 1
+        }
+        (docId, sig)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
+    * 4×16-bit chunk banding (pigeonhole: dist ≤ 3 ⇒ ≥1 identical chunk).
+    */
+  def simhashPairs(
+      spark: SparkSession,
+      sfDir: String,
+      maxDist: Int = 3): DataFrame = {
+    val sig = simhash(spark, sfDir)
+    val chunked = sig.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16)
+            .bitwiseAND(lit(0xffffL)).as("cv"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+      col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Token-set Jaccard over a bounded doc subset (SQL-parity variant). */
+  def ngramJaccard(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      threshold: Double = 0.3): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .filter(col("doc_id") < maxDocId)
+      .select(
+        col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as("tok"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    val inter = a.join(b,
+      col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3)
+        .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramJaccardSql(maxDocId: Long = 100, threshold: Double = 0.3): String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+       |      x -> x <> '')) AS tok FROM documents WHERE doc_id < $maxDocId) u),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b,
+       |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 3) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-analog fulltext operators over the driver's `documents` table, with
+  * ANSI-SQL twins (SparkEntry.oracleSql) runnable by DuckDB. Tokenization
+  * here is deliberately DuckDB-expressible — lowercase + single-space split
+  * + drop empties — NOT the full reference lexer (stemming/Unicode are
+  * covered by the scalatest oracle suite instead; SURVEY.md §5.6).
+  *
+  * Float policy for oracle parity: only exact aggregates (counts, integer
+  * sums-as-double) order results; displayed scores are rounded to 3
+  * decimals.
+  */
+object FtSql {
+
+  /** (doc_id, tok) — one row per token occurrence. */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as("tok"))
+
+  val tokensSqlFrom: String =
+    "(SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), " +
+      "x -> x <> '')) AS tok FROM documents)"
+
+  def doclen(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir).groupBy("doc_id")
+      .agg(count(lit(1)).as("doclen"))
+
+  val doclenSql: String =
+    s"SELECT doc_id, count(*) AS doclen FROM $tokensSqlFrom t GROUP BY doc_id"
+
+  /** Document frequency per term (distinct doc per term). */
+  def df(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  val dfSql: String =
+    "SELECT tok, count(*) AS df FROM " +
+      s"(SELECT DISTINCT doc_id, tok FROM $tokensSqlFrom t) d GROUP BY tok"
+
+  /** Corpus stats: doc_count, total_tokens, avgdl (rounded). */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    doclen(spark, sfDir).agg(
+      count(lit(1)).as("doc_count"),
+      sum(col("doclen")).as("total_tokens"),
+      round(sum(col("doclen")).cast("double") / count(lit(1)), 3)
+        .as("avgdl"))
+
+  val statsSql: String =
+    "SELECT count(*) AS doc_count, sum(doclen) AS total_tokens, " +
+      "round(sum(doclen)::DOUBLE / count(*), 3) AS avgdl FROM " +
+      s"($doclenSql) d"
+
+  /** Fixed query-term set used by the SQL-analog scorers (present in the
+    * synthetic documents vocabulary).
+    */
+  val queryTerms: Seq[String] = Seq("data", "query", "spark")
+  private def termsIn: String =
+    queryTerms.map(t => s"'$t'").mkString("(", ",", ")")
+
+  /** TF-IDF top-20: Σ_t (tf/doclen)·log10(N/df_t); ties → doc_id asc. */
+  def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val toks = tokens(spark, sfDir)
+    val q = toks.filter(col("tok").isin(queryTerms: _*))
+    val tf = q.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = doclen(spark, sfDir)
+    val dfs = df(spark, sfDir).filter(col("tok").isin(queryTerms: _*))
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    tf.join(dl, "doc_id").join(dfs, "tok")
+      .withColumn("contrib",
+        col("tf").cast("double") / col("doclen") *
+          log10(lit(n.toDouble) / col("df")))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("s"))
+      .select(col("doc_id"), round(col("s"), 3).as("score"))
+      .orderBy(col("s").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score")
+  }
+
+  def tfidfTopKSql(k: Int = 20): String =
+    s"""WITH toks AS (SELECT doc_id, tok FROM $tokensSqlFrom t),
+       |dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+       |dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+       |        WHERE tok IN $termsIn GROUP BY tok),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       |       WHERE tok IN $termsIn GROUP BY doc_id, tok)
+       |SELECT doc_id, round(sum(s), 3) AS score FROM (
+       |  SELECT tf.doc_id,
+       |         tf.tf::DOUBLE / dl.doclen * log10(n.n::DOUBLE / dfs.df) AS s
+       |  FROM tf, dl, dfs, n
+       |  WHERE tf.doc_id = dl.doc_id AND tf.tok = dfs.tok) c
+       |GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT $k"""
+      .stripMargin
+
+  /** BM25 top-20 (k1=2.0, b=0.75, textbook idf ln(1+(N-df+0.5)/(df+0.5))).
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val toks = tokens(spark, sfDir)
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = doclen(spark, sfDir)
+    val dfs = df(spark, sfDir).filter(col("tok").isin(queryTerms: _*))
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val stats = dl.agg(avg(col("doclen")).as("avgdl")).first()
+    val avgdl = stats.getDouble(0)
+    val k1 = 2.0
+    val b = 0.75
+    val idf: Column =
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(dl, "doc_id").join(dfs, "tok")
+      .withColumn("contrib",
+        idf * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen")
+            / avgdl)))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("s"))
+      .select(col("doc_id"), round(col("s"), 3).as("score"))
+      .orderBy(col("s").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score")
+  }
+
+  def bm25TopKSql(k: Int = 20): String =
+    s"""WITH toks AS (SELECT doc_id, tok FROM $tokensSqlFrom t),
+       |dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+       |av AS (SELECT avg(doclen) AS avgdl FROM dl),
+       |dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+       |        WHERE tok IN $termsIn GROUP BY tok),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       |       WHERE tok IN $termsIn GROUP BY doc_id, tok)
+       |SELECT doc_id, round(sum(s), 3) AS score FROM (
+       |  SELECT tf.doc_id,
+       |         ln(1.0 + (n.n::DOUBLE - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         tf.tf * 3.0 /
+       |         (tf.tf + 2.0 * (1.0 - 0.75 + 0.75 * dl.doclen / av.avgdl))
+       |         AS s
+       |  FROM tf, dl, dfs, n, av
+       |  WHERE tf.doc_id = dl.doc_id AND tf.tok = dfs.tok) c
+       |GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT $k"""
+      .stripMargin
+}

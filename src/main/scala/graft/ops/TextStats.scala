@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  */
+object TextStats {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // ---- language identification (marker-word + script heuristic) ---------
+
+  private val markers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "with", "that", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "mit", "für", "nicht"),
+    "fr" -> Set("le", "la", "les", "et", "est", "avec", "pour", "dans"),
+    "es" -> Set("el", "la", "los", "las", "es", "con", "para", "que"))
+
+  /** Deterministic heuristic language ID: CJK codepoint share decides "zh";
+    * otherwise argmax of per-language marker-word hit counts, tiebroken by
+    * language code (alphabetical), "und" when nothing matches.
+    */
+  def langIdOf(text: String): (String, Double) = {
+    if (text == null || text.isEmpty) return ("und", 0.0)
+    var cjk = 0
+    var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        val b = Character.UnicodeScript.of(cp)
+        if (b == Character.UnicodeScript.HAN) cjk += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters > 0 && cjk.toDouble / letters > 0.3)
+      return ("zh", cjk.toDouble / letters)
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return ("und", 0.0)
+    val scores = markers.view.mapValues(ms =>
+      toks.count(ms.contains).toDouble / toks.length).toMap
+    val (lang, score) = scores.toSeq.sortBy { case (l, s) => (-s, l) }.head
+    if (score == 0.0) ("und", 0.0) else (lang, score)
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (lang, score) = langIdOf(t)
+        (id, lang, math.rint(score * 1000) / 1000)
+      }
+      .toDF("doc_id", "pred_lang", "score")
+      .orderBy("doc_id")
+  }
+
+  // ---- quality scoring ----------------------------------------------------
+
+  private val stopList =
+    Seq("the", "and", "of", "to", "a", "is", "in", "that", "with", "for")
+
+  /** Per-doc quality signals: token count, mean token length, stop-word
+    * ratio, punctuation ratio, alpha ratio — the usual web-text filters,
+    * all as codegen'd column expressions.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    docs(spark, sfDir)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_chars2", length(col("text")))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin(stopList: _*))))
+      .withColumn("n_punct",
+        length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_chars2").cast("double") /
+          greatest(col("n_tokens"), lit(1)), 3).as("mean_tok_len"),
+        round(col("n_stop").cast("double") /
+          greatest(col("n_tokens"), lit(1)), 3).as("stop_ratio"),
+        round(col("n_punct").cast("double") /
+          greatest(col("n_chars2"), lit(1)), 3).as("punct_ratio"),
+        round(col("n_alpha").cast("double") /
+          greatest(col("n_chars2"), lit(1)), 3).as("alpha_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def qualitySql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      |    AS n_tokens,
+      |  round(length(text)::DOUBLE / greatest(
+      |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1),
+      |    3) AS mean_tok_len,
+      |  round(len(list_filter(string_split(lower(text), ' '),
+      |      x -> list_contains(['the','and','of','to','a','is','in','that',
+      |                          'with','for'], x)))::DOUBLE
+      |    / greatest(len(list_filter(string_split(lower(text), ' '),
+      |        x -> x <> '')), 1), 3) AS stop_ratio,
+      |  round((length(text) - length(regexp_replace(text, '[.,;:!?]', '',
+      |    'g')))::DOUBLE / greatest(length(text), 1), 3) AS punct_ratio,
+      |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+      |    / greatest(length(text), 1), 3) AS alpha_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- token counting -----------------------------------------------------
+
+  /** Whitespace tokens + a BPE-ish regex token count (letter runs, digit
+    * runs, single non-alnum marks — a cheap proxy for subword count).
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  def tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+      |    AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- document fingerprinting (rolling hash / winnowing-lite) ------------
+
+  /** k smallest rolling hashes of 8-byte windows — an order-insensitive
+    * content fingerprint usable for containment checks.
+    */
+  def fingerprints(
+      spark: SparkSession,
+      sfDir: String,
+      window: Int = 8,
+      keep: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val heap = new scala.collection.mutable.PriorityQueue[Long]()
+        if (bytes.length >= window) {
+          var h = 0L
+          val base = 1000003L
+          var pow = 1L
+          var i = 0
+          while (i < window) { h = h * base + (bytes(i) & 0xff); i += 1 }
+          var j = 1
+          while (j < window) { pow *= base; j += 1 }
+          var k = window
+          heap.enqueue(h)
+          while (k < bytes.length) {
+            h = (h - (bytes(k - window) & 0xff) * pow) * base +
+              (bytes(k) & 0xff)
+            if (heap.size < keep) heap.enqueue(h)
+            else if (h < heap.head) { heap.dequeue(); heap.enqueue(h) }
+            k += 1
+          }
+        }
+        (id, heap.toArray.sorted.toSeq)
+      }
+      .toDF("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+}

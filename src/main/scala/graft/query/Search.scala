@@ -37,6 +37,22 @@ object Search {
     spark.read.parquet(IndexBuilder.statsPath(indexDir)).as[Stats].head()
   }
 
+  /** postings/blocks live under group=<termId mod G> partition dirs; reading
+    * the parent dir makes `group` a partition column, so filtering on the
+    * candidate terms' groups prunes whole subdirectories before any I/O.
+    */
+  def groupPruned(
+      spark: SparkSession,
+      indexDir: String,
+      basePath: String,
+      termIds: Seq[Long]): DataFrame = {
+    val g = IndexBuilder.readMeta(spark, indexDir)("postingGroups").toInt
+    val groups = termIds.map(_ % g).distinct
+    spark.read.parquet(basePath)
+      .filter(col("group").isin(groups: _*))
+      .filter(col("termId").isin(termIds: _*))
+  }
+
   /** Q1–Q5: tokenize, expand against the dictionary, attach idf.
     *
     * Scale note: the reference scans the whole dictionary per token
@@ -136,9 +152,9 @@ object Search {
     val p = params
     val m = method
 
-    val postings = spark.read
-      .parquet(IndexBuilder.postingsPath(indexDir) + "/group=*")
-      .filter($"termId".isin(qp.terms.map(_.termId): _*))
+    val postings = groupPruned(spark, indexDir,
+        IndexBuilder.postingsPath(indexDir), qp.terms.map(_.termId))
+      .select($"termId", $"docId", $"tf", $"docLen")
       .as[Posting]
 
     postings

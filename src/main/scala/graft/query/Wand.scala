@@ -235,9 +235,9 @@ object Wand {
     val kk = k
     val p = params
 
-    val blocks = spark.read
-      .parquet(IndexBuilder.blocksPath(indexDir) + "/group=*")
-      .filter($"termId".isin(qp.terms.map(_.termId): _*))
+    val blocks = Search.groupPruned(spark, indexDir,
+        IndexBuilder.blocksPath(indexDir), qp.terms.map(_.termId))
+      .drop("group")
       .as[TermBlock]
 
     blocks
