@@ -174,6 +174,26 @@ object Synth {
   def pages(n: Int, seed: Long = 42L): IndexedSeq[PageRow] =
     (0L until n.toLong).map(page(_, seed))
 
+  /** Distributed generation: rows synthesized on executors (pure function
+    * of (seed, i)), so bench corpora never sit on the driver. Partition
+    * count is fixed so different core counts see identical splits.
+    */
+  def pagesDf(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      seed: Long = 42L,
+      partitions: Int = 64): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions)
+      .mapPartitions { it =>
+        it.map { i =>
+          val p = page(i, seed)
+          graft.index.Schema.Page(p.url, p.warc_ts, p.html, p.text, p.lang)
+        }
+      }
+      .toDF()
+  }
+
   /** Reference-extractor-equivalent text for a synthesized page, computed
     * WITHOUT the XML parser (titles/paragraph contents are known by
     * construction). Used to cross-check Extract.extractXml byte-identity.

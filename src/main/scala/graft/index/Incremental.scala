@@ -1,0 +1,282 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.text.{Extract, Lexer}
+import Schema._
+
+/** Incremental index maintenance (SURVEY.md §2.4, M1–M6): given a NEW
+  * corpus snapshot, re-index only docs that are new or stale
+  * (`warc_ts` newer than indexed — M1), purge docs that disappeared (M3),
+  * and apply everything as deltas (M2/M4):
+  *
+  *   - docIds stay STABLE for surviving urls; new urls get ids above the
+  *     old max, ranked by url (deterministic);
+  *   - `terms.df` is updated by delta aggregation (±1 per unique term per
+  *     changed doc), not a full recount; terms reaching df = 0 are dropped
+  *     (the reference keeps zero-df `gtf` entries, which NaN-poison its own
+  *     TF-IDF scores — model.rs:169 divides by 0 — so the rebuild
+  *     deliberately cleans them; SURVEY.md §2.6.5);
+  *   - postings/blocks groups are rewritten only when they contain affected
+  *     rows (group = termId mod G keeps rewrites bounded);
+  *   - "save only if changed" (S9): an empty delta writes nothing.
+  *
+  * On Iceberg this maps to MERGE INTO / DELETE FROM with snapshot
+  * isolation; on plain parquet we rewrite affected group directories from
+  * (surviving ∪ delta) with the same range-sort layout.
+  */
+object Incremental {
+
+  final case class UpdateReport(
+      added: Long,
+      reindexed: Long,
+      removed: Long,
+      changed: Boolean)
+
+  def update(
+      spark: SparkSession,
+      pagesNew: DataFrame,
+      indexDir: String,
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf())
+      : UpdateReport = {
+    import spark.implicits._
+
+    val docs = spark.read.parquet(IndexBuilder.docsPath(indexDir))
+    val termsOld = spark.read.parquet(IndexBuilder.termsPath(indexDir))
+    val postingsOld = spark.read
+      .parquet(IndexBuilder.postingsPath(indexDir))
+      .select($"termId", $"docId", $"tf", $"docLen")
+
+    val pageKeys = pagesNew.select($"url", $"warc_ts".as("new_ts"))
+
+    // M1: new or stale urls
+    val joined = pageKeys.join(
+      docs.select($"url", $"warc_ts".as("old_ts"), $"docId".as("oldDocId")),
+      Seq("url"), "left")
+    val toIndexUrls = joined
+      .filter($"old_ts".isNull || $"new_ts" > $"old_ts")
+      .select($"url", $"oldDocId")
+    // M3: purge urls no longer present
+    val removedDocs = docs.join(pageKeys, Seq("url"), "left_anti")
+      .select($"url", $"docId")
+
+    val nToIndex = toIndexUrls.count()
+    val nRemoved = removedDocs.count()
+    if (nToIndex == 0 && nRemoved == 0)
+      return UpdateReport(0, 0, 0, changed = false) // S9: skip save
+
+    // extract + tokenize ONLY the changed pages. A doc whose extraction
+    // FAILS keeps its old indexed version (main.rs:196-202: parse error →
+    // continue, old entry neither replaced nor purged); a doc that extracts
+    // to zero surviving tokens is REMOVED and not re-added (add_document
+    // removes first, then skips the empty insert — model.rs:229-247).
+    // Marker rows (term = null) carry "extraction succeeded" per url.
+    val changedPages = pagesNew
+      .join(toIndexUrls.select("url"), "url")
+      .select("url", "warc_ts", "html", "text")
+      .as[(String, java.sql.Timestamp, Array[Byte], String)]
+    val ftDeltaRaw = changedPages.mapPartitions { it =>
+      it.flatMap { case (url, ts, html, text) =>
+        Extract.extractText(html, text) match {
+          case None => Iterator.empty // malformed → old version survives
+          case Some(content) =>
+            val counts = new java.util.HashMap[String, Integer]()
+            Lexer.tokenize(content).foreach(t =>
+              counts.merge(t, 1, (a, b) => a + b))
+            val out = Iterator.newBuilder[(String, java.sql.Timestamp,
+              String, Int)]
+            out += ((url, ts, null, 0)) // extraction-succeeded marker
+            counts.forEach((k, v) => out += ((url, ts, k, v)))
+            out.result()
+        }
+      }
+    }.toDF("url", "warc_ts", "term", "tf")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val extractedOkUrls = ftDeltaRaw.filter($"term".isNull).select("url")
+    val ftDelta = ftDeltaRaw.filter($"term".isNotNull)
+
+    val docLenDelta = ftDelta.groupBy($"url", $"warc_ts")
+      .agg(sum($"tf").cast("long").as("docLen"))
+
+    // docId assignment: keep old ids for re-indexed urls; rank new urls
+    // above the previous max (A3 holds: empty/malformed docs never surface
+    // in ftDelta, so they get no id and aren't indexed)
+    val maxDocId = docs.agg(max($"docId")).as[Long].collect()
+      .headOption.getOrElse(-1L)
+    val withOld = docLenDelta.join(
+      toIndexUrls.filter($"oldDocId".isNotNull), Seq("url"), "inner")
+      .select($"url", $"warc_ts", $"docLen", $"oldDocId".as("docId"))
+    val newUrls = docLenDelta.join(
+      toIndexUrls.filter($"oldDocId".isNotNull).select("url"),
+      Seq("url"), "left_anti")
+    val assigned = DenseId.assign(spark,
+      newUrls.select($"url".as("value")).as[String],
+      conf.partitions, idName = "newId", keyName = "url")
+    val withNew = newUrls.join(assigned.df, "url")
+      .select($"url", $"warc_ts", $"docLen",
+        ($"newId" + lit(maxDocId + 1)).as("docId"))
+    val docsDelta = withOld.unionByName(withNew)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // affected docIds: stale docs whose NEW extraction succeeded (their old
+    // version is replaced/emptied) + removed urls. Malformed re-extractions
+    // keep the old version (not affected).
+    val affectedOld = toIndexUrls.filter($"oldDocId".isNotNull)
+      .join(extractedOkUrls, "url")
+      .select($"oldDocId".as("docId"))
+      .unionByName(removedDocs.select($"docId"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // termId assignment for brand-new terms
+    val termDeltaNames = ftDelta.select($"term").distinct()
+      .join(termsOld.select($"term"), Seq("term"), "left_anti")
+    val maxTermId = termsOld.agg(max($"termId")).as[Long].collect()
+      .headOption.getOrElse(-1L)
+    val newTermIds = DenseId.assign(spark,
+      termDeltaNames.select($"term".as("value")).as[String],
+      conf.partitions, idName = "newTid", keyName = "term")
+    val termIdMap = termsOld.select($"term", $"termId")
+      .unionByName(newTermIds.df.select($"term",
+        ($"newTid" + lit(maxTermId + 1)).as("termId")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // postings delta rows
+    val postingsAdd = ftDelta
+      .join(docsDelta.select($"url", $"docId", $"docLen"), "url")
+      .join(termIdMap, "term")
+      .select($"termId", $"docId", $"tf".cast("int").as("tf"),
+        $"docLen".cast("int").as("docLen"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // df delta: -1 per (term, removed-or-stale doc), +1 per added posting
+    val removedPostings = postingsOld
+      .join(affectedOld, "docId")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfMinus = removedPostings.groupBy($"termId")
+      .agg(count(lit(1)).as("minus"))
+    val dfPlus = postingsAdd.groupBy($"termId")
+      .agg(count(lit(1)).as("plus"))
+    val termsNew = termIdMap
+      .join(termsOld.select($"termId", $"df"), Seq("termId"), "left")
+      .join(dfMinus, Seq("termId"), "left")
+      .join(dfPlus, Seq("termId"), "left")
+      .select($"termId", $"term",
+        (coalesce($"df", lit(0L)) - coalesce($"minus", lit(0L)) +
+          coalesce($"plus", lit(0L))).as("df"))
+      .filter($"df" > 0)
+
+    // rewrite only groups containing affected rows
+    val g = conf.postingGroups
+    val affectedGroups = removedPostings
+      .select(pmod($"termId", lit(g)).cast("int").as("grp"))
+      .unionByName(postingsAdd
+        .select(pmod($"termId", lit(g)).cast("int").as("grp")))
+      .distinct().as[Int].collect().toSet
+
+    val stats = spark.read.parquet(IndexBuilder.statsPath(indexDir))
+      .as[Stats].head()
+    val removedLens = docs.join(affectedOld, "docId")
+      .agg(coalesce(sum($"docLen"), lit(0L)), count(lit(1)))
+      .as[(Long, Long)].head()
+    val addedLens = docsDelta
+      .agg(coalesce(sum($"docLen"), lit(0L)), count(lit(1)))
+      .as[(Long, Long)].head()
+    val statsNew = Stats(
+      stats.docCount - removedLens._2 + addedLens._2,
+      stats.totalTokens - removedLens._1 + addedLens._1)
+
+    val bucketSize = math.max(1L,
+      IndexBuilder.readMeta(spark, indexDir)("bucketSize").toLong)
+
+    // Materialize EVERYTHING derived from the old table files before any
+    // write swaps them out — plans capture file listings at read() time,
+    // so a post-swap re-execution would hit deleted files.
+    val nAdded = withNew.count()
+    val nReindexed = withOld.count()
+    val nAffected = affectedOld.count()
+    if (nAffected == 0 && nAdded == 0) {
+      // only perpetually-malformed stale docs → nothing actually changed
+      // (reference: parse error → continue, processed not incremented,
+      // save skipped — main.rs:196-202, 267-272)
+      Seq(ftDeltaRaw, docsDelta, affectedOld, termIdMap, postingsAdd,
+        removedPostings).foreach(_.unpersist())
+      assigned.release()
+      newTermIds.release()
+      return UpdateReport(0, 0, 0, changed = false)
+    }
+    docsDelta.count()
+    termIdMap.count()
+    postingsAdd.count()
+    removedPostings.count()
+    affectedOld.count()
+    val docsNewMat = docs.join(affectedOld, Seq("docId"), "left_anti")
+      .join(removedDocs.select($"docId"), Seq("docId"), "left_anti")
+      .select($"docId", $"url", $"warc_ts", $"docLen")
+      .unionByName(docsDelta.select($"docId", $"url", $"warc_ts",
+        $"docLen"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    docsNewMat.count()
+    val termsNewMat = termsNew.persist(StorageLevel.MEMORY_AND_DISK)
+    termsNewMat.count()
+
+    // ---- writes (docs, terms, stats, affected posting/block groups) -----
+    writeTemp(spark, docsNewMat, IndexBuilder.docsPath(indexDir))
+    writeTemp(spark, termsNewMat, IndexBuilder.termsPath(indexDir))
+    writeTemp(spark,
+      Seq(statsNew).toDF(), IndexBuilder.statsPath(indexDir))
+
+    affectedGroups.toSeq.sorted.foreach { grp =>
+      val oldGrp = spark.read
+        .parquet(s"${IndexBuilder.postingsPath(indexDir)}/group=$grp")
+        .select($"termId", $"docId", $"tf", $"docLen")
+      val survivors = oldGrp.join(affectedOld, Seq("docId"), "left_anti")
+      val newGrp = survivors.unionByName(
+        postingsAdd.filter(pmod($"termId", lit(g)) === grp))
+        .repartitionByRange(
+          math.max(1, conf.partitions / g), $"termId", $"docId")
+        .sortWithinPartitions($"termId", $"docId")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      writeTemp(spark, newGrp,
+        s"${IndexBuilder.postingsPath(indexDir)}/group=$grp")
+      val blocks = spark.read
+        .parquet(s"${IndexBuilder.postingsPath(indexDir)}/group=$grp")
+        .as[Posting]
+        .mapPartitions(it => Blocks.encode(it, conf.blockSize, bucketSize))
+      writeTemp(spark, blocks.toDF(),
+        s"${IndexBuilder.blocksPath(indexDir)}/group=$grp")
+      newGrp.unpersist()
+    }
+
+    Seq(ftDeltaRaw, docsDelta, affectedOld, termIdMap, postingsAdd,
+      removedPostings, docsNewMat, termsNewMat).foreach(_.unpersist())
+    assigned.release()
+    newTermIds.release()
+    graft.query.IndexHandles.invalidate(indexDir) // cached tables are stale
+
+    UpdateReport(
+      added = nAdded,
+      reindexed = nReindexed,
+      removed = nRemoved,
+      changed = true)
+  }
+
+  /** Overwrite a table that the plan also READS: stage to a sibling temp
+    * dir, then swap (parquet has no snapshot isolation — Iceberg would
+    * commit atomically instead).
+    */
+  private def writeTemp(
+      spark: SparkSession,
+      df: DataFrame,
+      dest: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dest + "__tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    if (fs.exists(destPath)) fs.delete(destPath, true)
+    fs.rename(tmp, destPath)
+  }
+}

@@ -34,14 +34,19 @@ final class RefModel(params: Scoring.Params = Scoring.Params()) {
   val docs: mutable.HashMap[String, DocEntry] = mutable.HashMap.empty
   var totalTokens: Long = 0L
 
-  /** model.rs:174-186 */
+  /** model.rs:174-186. Deliberate divergence: entries reaching df = 0 are
+    * REMOVED here, while the reference keeps them — its own TF-IDF then
+    * computes log10(N/0) = ∞ and 0·∞ = NaN scores for every doc
+    * (model.rs:161-170), i.e. the kept-entry state is NaN-poisoned and
+    * observably broken. The rebuild (and this oracle) drop the entry.
+    */
   def removeDocument(url: String): Unit = {
     docs.remove(url).foreach { doc =>
       totalTokens = math.max(0L, totalTokens - doc.count)
       doc.ft.keysIterator.foreach { term =>
         gtf.get(term).foreach { f =>
-          val nf = math.max(0L, f - 1)
-          gtf.update(term, nf)
+          if (f <= 1L) gtf.remove(term)
+          else gtf.update(term, f - 1)
         }
       }
     }

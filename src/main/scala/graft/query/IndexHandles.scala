@@ -1,0 +1,68 @@
+package graft.query
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.index.IndexBuilder
+import graft.index.Schema.Stats
+
+/** Hot query-side state of one index: meta + stats are collected once;
+  * the dictionary and docs tables are persisted in memory (they're the
+  * per-query serving working set — on a cluster these are the natural
+  * executor-cache residents, while postings/blocks stay on storage and are
+  * read group-pruned per query).
+  */
+final class IndexHandles private (
+    val spark: SparkSession,
+    val indexDir: String) {
+
+  val meta: Map[String, String] = IndexBuilder.readMeta(spark, indexDir)
+  val postingGroups: Int = meta("postingGroups").toInt
+
+  val stats: Stats = {
+    import spark.implicits._
+    spark.read.parquet(IndexBuilder.statsPath(indexDir)).as[Stats].head()
+  }
+
+  val terms: DataFrame = spark.read
+    .parquet(IndexBuilder.termsPath(indexDir))
+    .persist(StorageLevel.MEMORY_AND_DISK)
+
+  val docs: DataFrame = spark.read
+    .parquet(IndexBuilder.docsPath(indexDir))
+    .select("docId", "url")
+    .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Blocks of the candidate terms, group-pruned at the parquet layer. */
+  def blocksFor(termIds: Seq[Long]): DataFrame =
+    pruned(IndexBuilder.blocksPath(indexDir), termIds)
+
+  def postingsFor(termIds: Seq[Long]): DataFrame =
+    pruned(IndexBuilder.postingsPath(indexDir), termIds)
+
+  private def pruned(base: String, termIds: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val groups = termIds.map(_ % postingGroups).distinct
+    spark.read.parquet(base)
+      .filter(col("group").isin(groups: _*))
+      .filter(col("termId").isin(termIds: _*))
+  }
+
+  def release(): Unit = {
+    terms.unpersist()
+    docs.unpersist()
+  }
+}
+
+object IndexHandles {
+  private val cache = TrieMap.empty[String, IndexHandles]
+
+  def apply(spark: SparkSession, indexDir: String): IndexHandles =
+    cache.getOrElseUpdate(indexDir, new IndexHandles(spark, indexDir))
+
+  /** Drop cached state (call after incremental updates rewrite tables). */
+  def invalidate(indexDir: String): Unit =
+    cache.remove(indexDir).foreach(_.release())
+}

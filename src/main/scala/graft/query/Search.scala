@@ -32,26 +32,8 @@ object Search {
       stats: Stats,
       avgdl: Float)
 
-  def loadStats(spark: SparkSession, indexDir: String): Stats = {
-    import spark.implicits._
-    spark.read.parquet(IndexBuilder.statsPath(indexDir)).as[Stats].head()
-  }
-
-  /** postings/blocks live under group=<termId mod G> partition dirs; reading
-    * the parent dir makes `group` a partition column, so filtering on the
-    * candidate terms' groups prunes whole subdirectories before any I/O.
-    */
-  def groupPruned(
-      spark: SparkSession,
-      indexDir: String,
-      basePath: String,
-      termIds: Seq[Long]): DataFrame = {
-    val g = IndexBuilder.readMeta(spark, indexDir)("postingGroups").toInt
-    val groups = termIds.map(_ % g).distinct
-    spark.read.parquet(basePath)
-      .filter(col("group").isin(groups: _*))
-      .filter(col("termId").isin(termIds: _*))
-  }
+  def loadStats(spark: SparkSession, indexDir: String): Stats =
+    IndexHandles(spark, indexDir).stats
 
   /** Q1–Q5: tokenize, expand against the dictionary, attach idf.
     *
@@ -64,20 +46,19 @@ object Search {
     */
   def plan(
       spark: SparkSession,
-      indexDir: String,
+      h: IndexHandles,
       query: String,
       method: Method,
-      params: Scoring.Params = Scoring.Params()): QueryPlan = {
+      params: Scoring.Params): QueryPlan = {
     import spark.implicits._
-    val stats = loadStats(spark, indexDir)
+    val stats = h.stats
     val avgdl = Scoring.avgdl(stats.totalTokens, stats.docCount)
 
     val tokens = Lexer.tokenize(query).toVector.distinct
     if (tokens.isEmpty)
       return QueryPlan(Vector.empty, stats, avgdl)
 
-    val terms = spark.read.parquet(IndexBuilder.termsPath(indexDir))
-      .as[TermEntry]
+    val terms = h.terms.as[TermEntry]
 
     val withLen = tokens.map(t => (t, Expand.utf8Len(t)))
     val exactOnly = withLen.filter { case (_, l) => Expand.maxDist(l) == 0 }
@@ -137,7 +118,7 @@ object Search {
     */
   def scoreNaive(
       spark: SparkSession,
-      indexDir: String,
+      h: IndexHandles,
       qp: QueryPlan,
       method: Method,
       params: Scoring.Params = Scoring.Params()): DataFrame = {
@@ -152,8 +133,7 @@ object Search {
     val p = params
     val m = method
 
-    val postings = groupPruned(spark, indexDir,
-        IndexBuilder.postingsPath(indexDir), qp.terms.map(_.termId))
+    val postings = h.postingsFor(qp.terms.map(_.termId))
       .select($"termId", $"docId", $"tf", $"docLen")
       .as[Posting]
 
@@ -191,16 +171,16 @@ object Search {
       useWand: Boolean = true,
       params: Scoring.Params = Scoring.Params()): DataFrame = {
     import spark.implicits._
-    val qp = plan(spark, indexDir, query, method, params)
+    val h = IndexHandles(spark, indexDir)
+    val qp = plan(spark, h, query, method, params)
     val scored =
-      if (useWand) Wand.topK(spark, indexDir, qp, method, k, params)
-      else scoreNaive(spark, indexDir, qp, method, params)
+      if (useWand) Wand.topK(spark, h, qp, method, k, params)
+      else scoreNaive(spark, h, qp, method, params)
     val top = scored
       .filter($"score" > 0.0f)
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
-    val docs = spark.read.parquet(IndexBuilder.docsPath(indexDir))
-      .select($"docId", $"url")
+    val docs = h.docs
     // ≤ k rows on the left: broadcast THEM, stream the (huge) docs table
     docs.join(broadcast(top), "docId")
       .orderBy($"score".desc, $"docId".asc)

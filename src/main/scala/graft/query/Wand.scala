@@ -218,7 +218,7 @@ object Wand {
     */
   def topK(
       spark: SparkSession,
-      indexDir: String,
+      h: IndexHandles,
       qp: Search.QueryPlan,
       method: Search.Method,
       k: Int,
@@ -235,8 +235,7 @@ object Wand {
     val kk = k
     val p = params
 
-    val blocks = Search.groupPruned(spark, indexDir,
-        IndexBuilder.blocksPath(indexDir), qp.terms.map(_.termId))
+    val blocks = h.blocksFor(qp.terms.map(_.termId))
       .drop("group")
       .as[TermBlock]
 

@@ -1,0 +1,127 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Synth
+import graft.index.IndexBuilder
+import graft.query.Search
+
+/** North-rule scaling evidence: the identical build+query job at local[N]
+  * and local[4N] on the same input (the sandbox stand-in for N vs 4N
+  * executors — see BASELINE.md), reporting docs/sec at both plus
+  * efficiency = throughput(4N) / (4 × throughput(N)), and query p50/p99.
+  *
+  * Usage: runMain graft.tools.ScalingBench [nDocs] [coresN] [cores4N]
+  * Writes BENCH/BASELINE.md and prints one JSON line per level + summary.
+  */
+object ScalingBench {
+
+  final case class Level(
+      cores: Int,
+      buildWallMs: Long,
+      docsPerSec: Double,
+      postingCount: Long,
+      queryP50Ms: Map[String, Double],
+      queryP99Ms: Map[String, Double])
+
+  private val queries = Seq(
+    "opengl" -> Search.Bm25,
+    "texture array shader" -> Search.Bm25,
+    "missingkeywordthatdoesnotexist" -> Search.Bm25,
+    "texture array shader" -> Search.Tfidf)
+
+  def session(cores: Int): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  def runLevel(cores: Int, nDocs: Long): Level = {
+    val spark = session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Files.createTempDirectory(s"graft_scale_${cores}_").toString
+    val pages = Synth.pagesDf(spark, nDocs, partitions = 64)
+
+    val t0 = System.nanoTime()
+    val metrics = IndexBuilder.build(spark, pages, dir,
+      IndexBuilder.BuildConf(partitions = 64, postingGroups = 4,
+        queryBuckets = 64, buildId = s"scale$cores"))
+    val buildMs = (System.nanoTime() - t0) / 1000000L
+
+    def percentile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1))
+    }
+    val p50 = scala.collection.mutable.Map[String, Double]()
+    val p99 = scala.collection.mutable.Map[String, Double]()
+    queries.foreach { case (q, m) =>
+      val name = s"$q/${if (m == Search.Bm25) "bm25" else "tfidf"}"
+      // 1 warm-up + 10 timed iterations (benchmark.rs:73-76)
+      Search.searchTop(spark, dir, q, m, 10).collect()
+      val times = (0 until 10).map { _ =>
+        val t = System.nanoTime()
+        Search.searchTop(spark, dir, q, m, 10).collect()
+        (System.nanoTime() - t) / 1e6
+      }
+      p50(name) = percentile(times, 0.50)
+      p99(name) = percentile(times, 0.99)
+    }
+    spark.stop()
+    Level(cores, buildMs, nDocs * 1000.0 / buildMs, metrics.postingCount,
+      p50.toMap, p99.toMap)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(600000L)
+    val coresN = args.lift(1).map(_.toInt).getOrElse(8)
+    val cores4N = args.lift(2).map(_.toInt).getOrElse(coresN * 4)
+
+    val lo = runLevel(coresN, nDocs)
+    val hi = runLevel(cores4N, nDocs)
+    val eff = hi.docsPerSec / ((cores4N.toDouble / coresN) * lo.docsPerSec)
+
+    def levelJson(l: Level): String = {
+      val q = l.queryP50Ms.keys.toSeq.sorted.map { k =>
+        s""""$k":{"p50":${l.queryP50Ms(k)},"p99":${l.queryP99Ms(k)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"cores":${l.cores},"buildWallMs":${l.buildWallMs},""" +
+        s""""docsPerSec":${l.docsPerSec},"postings":${l.postingCount},""" +
+        s""""queryLatencyMs":$q}"""
+    }
+    println(levelJson(lo))
+    println(levelJson(hi))
+    println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
+      s""""nDocs":$nDocs,"coresN":$coresN,"cores4N":$cores4N}""")
+
+    val md = new StringBuilder()
+    md.append("# BENCH/BASELINE — measured numbers (synthetic corpus, ")
+    md.append(s"$nDocs docs, seed 42)\n\n")
+    md.append("Sandbox stand-in for the north rule's N vs 4N executors: ")
+    md.append(s"identical job at local[$coresN] and local[$cores4N] on the ")
+    md.append("same input (see BASELINE.md note).\n\n")
+    md.append("| metric | local[" + coresN + "] | local[" + cores4N +
+      "] |\n|---|---|---|\n")
+    md.append(f"| index build wall (s) | ${lo.buildWallMs / 1000.0}%.1f | " +
+      f"${hi.buildWallMs / 1000.0}%.1f |\n")
+    md.append(f"| index build docs/sec | ${lo.docsPerSec}%.0f | " +
+      f"${hi.docsPerSec}%.0f |\n")
+    md.append(s"| postings | ${lo.postingCount} | ${hi.postingCount} |\n")
+    lo.queryP50Ms.keys.toSeq.sorted.foreach { k =>
+      md.append(f"| query p50 ms — $k | ${lo.queryP50Ms(k)}%.0f | " +
+        f"${hi.queryP50Ms(k)}%.0f |\n")
+      md.append(f"| query p99 ms — $k | ${lo.queryP99Ms(k)}%.0f | " +
+        f"${hi.queryP99Ms(k)}%.0f |\n")
+    }
+    md.append(f"\n**Scaling efficiency (${coresN}→$cores4N cores): " +
+      f"$eff%.3f** (target ≥ 0.8)\n")
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md.toString)
+    println("wrote BENCH/BASELINE.md")
+  }
+}

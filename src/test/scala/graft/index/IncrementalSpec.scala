@@ -1,0 +1,183 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synth
+import graft.oracle.RefModel
+import graft.query.Search
+import graft.text.Extract
+
+/** M1–M6: incremental update ≡ full rebuild (modulo id assignment), plus
+  * the reference's staleness/purge/error semantics.
+  */
+class IncrementalSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val conf = IndexBuilder.BuildConf(
+    partitions = 8, postingGroups = 2, queryBuckets = 8)
+
+  private def later(ts: Timestamp): Timestamp =
+    new Timestamp(ts.getTime + 3600 * 1000L)
+
+  // v1: docs 0..299. v2: 0..339 with edits:
+  //  - i % 7 == 3  → text replaced, ts bumped (stale → re-index)
+  //  - i % 50 == 11 → deleted (purge)
+  //  - i == 21     → becomes stop-words-only, ts bumped (→ removed, A3)
+  //  - i == 24     → becomes malformed XML, ts bumped (→ OLD version kept)
+  //  - 300..339    → brand new
+  private val v1: IndexedSeq[Synth.PageRow] = Synth.pages(300)
+  private val v2: IndexedSeq[Synth.PageRow] = {
+    val edited = v1.flatMap { p =>
+      val i = p.url.split("/")(3).toLong
+      if (i % 50 == 11) None
+      else if (i == 21)
+        Some(p.copy(text = "the is and of to", html = null,
+          warc_ts = later(p.warc_ts)))
+      else if (i == 24)
+        Some(p.copy(html = "<broken><xml".getBytes(StandardCharsets.UTF_8),
+          text = null, warc_ts = later(p.warc_ts)))
+      else if (i % 7 == 3)
+        Some(p.copy(
+          text = s"fresh edited shader texture content $i opengl revision",
+          html = null, warc_ts = later(p.warc_ts)))
+      else Some(p)
+    }
+    edited ++ (300 until 340).map(i => Synth.page(i.toLong))
+  }
+
+  private def df(rows: IndexedSeq[Synth.PageRow]) =
+    spark.createDataset(rows.map(p =>
+      Schema.Page(p.url, p.warc_ts, p.html, p.text, p.lang))).toDF()
+
+  private lazy val updatedDir = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    val report = Incremental.update(spark, df(v2), dir, conf)
+    assert(report.changed)
+    assert(report.removed == 6) // i % 50 == 11 → 11, 61, ..., 261
+    assert(report.added == 40)
+    dir
+  }
+
+  private lazy val freshDir = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_fresh_").toString
+    // fresh build of the v2 state the reference would hold: doc 24 keeps
+    // its V1 content (malformed re-extraction is skipped)
+    val refState = v2.map { p =>
+      val i = p.url.split("/")(3).toLong
+      if (i == 24) v1(24) else p
+    }
+    IndexBuilder.build(spark, df(refState), dir, conf)
+    dir
+  }
+
+  /** Oracle driven through the reference's index_directory flow over v2. */
+  private lazy val oracle: RefModel = {
+    val m = new RefModel()
+    v1.foreach(p => Extract.extractText(p.html, p.text).foreach(t =>
+      m.addDocument(p.url, t, p.warc_ts.getTime)))
+    v2.foreach { p =>
+      if (m.requiresReindexing(p.url, p.warc_ts.getTime)) {
+        Extract.extractText(p.html, p.text) match {
+          case Some(t) => m.addDocument(p.url, t, p.warc_ts.getTime)
+          case None => // parse error → old version survives
+        }
+      }
+    }
+    val visited = v2.map(_.url).toSet
+    m.docs.keys.filterNot(visited).toVector
+      .foreach(m.removeDocument)
+    m
+  }
+
+  test("update report counts: 6 removed, 40 added, stale set reindexed") {
+    updatedDir // assertions inside
+  }
+
+  test("docs table ≡ fresh rebuild at (url, docLen) level; " +
+      "stop-only doc gone, malformed doc keeps old version") {
+    val upd = spark.read.parquet(IndexBuilder.docsPath(updatedDir))
+      .select($"url", $"docLen").as[(String, Long)].collect().toMap
+    val fresh = spark.read.parquet(IndexBuilder.docsPath(freshDir))
+      .select($"url", $"docLen").as[(String, Long)].collect().toMap
+    assert(upd == fresh)
+    assert(!upd.contains(v1(21).url)) // became stop-words-only
+    assert(!upd.contains(v1(11).url)) // deleted
+    assert(upd.contains(v1(24).url)) // malformed edit → old version kept
+  }
+
+  test("terms ≡ fresh rebuild at (term, df) level") {
+    val upd = spark.read.parquet(IndexBuilder.termsPath(updatedDir))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val fresh = spark.read.parquet(IndexBuilder.termsPath(freshDir))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    assert(upd == fresh)
+  }
+
+  test("postings ≡ fresh rebuild at (url, term, tf, docLen) level") {
+    def flat(dir: String): Set[(String, String, Int, Int)] = {
+      val docs = spark.read.parquet(IndexBuilder.docsPath(dir))
+        .select($"docId", $"url")
+      val terms = spark.read.parquet(IndexBuilder.termsPath(dir))
+        .select($"termId", $"term")
+      spark.read.parquet(IndexBuilder.postingsPath(dir))
+        .join(docs, "docId").join(terms, "termId")
+        .select($"url", $"term", $"tf", $"docLen")
+        .as[(String, String, Int, Int)].collect().toSet
+    }
+    assert(flat(updatedDir) == flat(freshDir))
+  }
+
+  test("stats ≡ fresh rebuild") {
+    assert(Search.loadStats(spark, updatedDir) ==
+      Search.loadStats(spark, freshDir))
+  }
+
+  test("blocks of updated index decode to its postings") {
+    val fromBlocks = spark.read
+      .parquet(IndexBuilder.blocksPath(updatedDir))
+      .drop("group").as[Schema.TermBlock]
+      .flatMap { b =>
+        val d = Blocks.decode(b)
+        (0 until b.n).iterator.map(i =>
+          (b.termId, d.docIds(i), d.tfs(i), d.docLens(i)))
+      }.collect().toSet
+    val fromPostings = spark.read
+      .parquet(IndexBuilder.postingsPath(updatedDir))
+      .select($"termId", $"docId", $"tf", $"docLen")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(fromBlocks == fromPostings)
+  }
+
+  for (q <- Seq("texture array shader", "opengl", "fresh edited revision")) {
+    test(s"query on updated index ≡ oracle after same M1-M4 flow: \"$q\"") {
+      // After updates docIds are stable (not url ranks), so the engine's
+      // (score, docId) tiebreak can permute equal-score runs vs the
+      // oracle's (score, url) — rank identity is defined MODULO ties
+      // (SURVEY.md §2.6.7). Compare untruncated lists as score-grouped
+      // url sets.
+      val got = Search
+        .searchTop(spark, updatedDir, q, Search.Bm25, 100000)
+        .select($"url", $"score").as[(String, Float)].collect().toVector
+      val want = oracle.searchTop(q, RefModel.Bm25, 100000)
+      def groups(v: Vector[(String, Float)]): Vector[(Float, Set[String])] =
+        v.groupBy(_._2).toVector.sortBy(-_._1)
+          .map { case (s, rows) => (s, rows.map(_._1).toSet) }
+      assert(groups(got) == groups(want))
+    }
+  }
+
+  test("idempotence: same snapshot again → no change (S9 save-if-changed)") {
+    updatedDir
+    val report2 = Incremental.update(spark, df(v2), updatedDir, conf)
+    assert(!report2.changed)
+  }
+}
