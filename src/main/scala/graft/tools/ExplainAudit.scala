@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.ops.{Corpus, Dedup, FtSql}
+import graft.query.{IndexHandles, Search}
+
+/** Dumps formatted physical plans of the hot paths so pushdowns, partition
+  * pruning and whole-stage codegen spans are inspectable (and regressions
+  * reviewable in PRs). Run: runMain graft.tools.ExplainAudit [sfDir]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSearchCli.localSession("4")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val idx = Corpus.ensureIndex(spark, sfDir)
+    val h = IndexHandles(spark, idx)
+
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
+    val qp = Search.plan(spark, h, "dup data",
+      Search.Bm25, graft.score.Scoring.Params())
+    dump("postings scan for naive scorer (expect: partition filter on " +
+      "group, PushedFilters In(termId))",
+      h.postingsFor(qp.terms.map(_.termId)))
+    dump("blocks scan for WAND (same pruning expectations)",
+      h.blocksFor(qp.terms.map(_.termId)))
+    dump("full bm25 search (WAND)",
+      Search.searchTop(spark, idx, "dup data", Search.Bm25, 10))
+    dump("ft_bm25_topk SQL-analog (expect ReadSchema pruned to " +
+      "doc_id/text; WholeStageCodegen spans)",
+      FtSql.bm25TopK(spark, sfDir))
+    dump("dedup exact (expect partial/final hash agg)",
+      Dedup.exact(spark, sfDir))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.query.{IndexHandles, Search, Wand}
+import graft.score.Scoring
+
+/** Phase-level query profiler: times plan (expansion), WAND core, naive
+  * core, and the full searchTop separately, several iterations each.
+  * Usage: runMain graft.tools.QueryProfile <indexDir> [query] [iters]
+  */
+object QueryProfile {
+  def main(args: Array[String]): Unit = {
+    val indexDir = args(0)
+    val query = args.lift(1).getOrElse("opengl")
+    val iters = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSearchCli.localSession("32")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val h = IndexHandles(spark, indexDir)
+    def time(name: String)(body: => Unit): Unit = {
+      body // warm-up
+      val times = (0 until iters).map { _ =>
+        val t = System.nanoTime()
+        body
+        (System.nanoTime() - t) / 1e6
+      }
+      println(f"$name%-28s p50=${times.sorted.apply(iters / 2)}%9.1f ms  " +
+        s"all=${times.map(t => f"$t%.0f").mkString(",")}")
+    }
+
+    val p = Scoring.Params()
+    time("plan (expansion)") {
+      Search.plan(spark, h, query, Search.Bm25, p)
+    }
+    val qp = Search.plan(spark, h, query, Search.Bm25, p)
+    println(s"expanded terms: ${qp.terms.size} " +
+      qp.terms.map(t => s"${t.term}(df=${t.df})").mkString(" "))
+    time("wand core (collect ids)") {
+      Wand.topK(spark, h, qp, Search.Bm25, 10, p).collect()
+    }
+    time("naive core (collect ids)") {
+      Search.scoreNaive(spark, h, qp, Search.Bm25, p)
+        .orderBy(org.apache.spark.sql.functions.col("score").desc)
+        .limit(10).collect()
+    }
+    time("searchTop full") {
+      Search.searchTop(spark, indexDir, query, Search.Bm25, 10).collect()
+    }
+    time("blocks scan only (count)") {
+      h.blocksFor(qp.terms.map(_.termId)).count()
+    }
+    spark.stop()
+  }
+}

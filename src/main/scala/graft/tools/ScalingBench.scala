@@ -77,25 +77,57 @@ object ScalingBench {
       p50.toMap, p99.toMap)
   }
 
+  private def levelJsonFull(l: Level): String = {
+    val q = l.queryP50Ms.keys.toSeq.sorted.map { k =>
+      s""""$k":{"p50":${l.queryP50Ms(k)},"p99":${l.queryP99Ms(k)}}"""
+    }.mkString("{", ",", "}")
+    s"""{"cores":${l.cores},"buildWallMs":${l.buildWallMs},""" +
+      s""""docsPerSec":${l.docsPerSec},"postings":${l.postingCount},""" +
+      s""""queryLatencyMs":$q}"""
+  }
+
+  private def parseLevel(json: String): Level = {
+    def num(k: String): Double =
+      s""""$k":([-0-9.E]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
+    val qre = """"([^"]+)":\{"p50":([-0-9.E]+),"p99":([-0-9.E]+)\}""".r
+    val qs = qre.findAllMatchIn(json).map(m =>
+      (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+    Level(num("cores").toInt, num("buildWallMs").toLong, num("docsPerSec"),
+      num("postings").toLong,
+      qs.map(q => q._1 -> q._2).toMap, qs.map(q => q._1 -> q._3).toMap)
+  }
+
   def main(args: Array[String]): Unit = {
+    // Single-level mode (one JVM per level, equal warm-up conditions):
+    //   runMain graft.tools.ScalingBench level <cores> <nDocs> <outFile>
+    if (args.headOption.contains("level")) {
+      val l = runLevel(args(1).toInt, args(2).toLong)
+      Files.writeString(Paths.get(args(3)), levelJsonFull(l))
+      println(levelJsonFull(l))
+      return
+    }
+    // Combine mode: runMain ... combine <fileN> <file4N> <nDocs>
+    if (args.headOption.contains("combine")) {
+      val lo = parseLevel(Files.readString(Paths.get(args(1))))
+      val hi = parseLevel(Files.readString(Paths.get(args(2))))
+      writeReport(lo, hi, args(3).toLong, lo.cores, hi.cores)
+      return
+    }
     val nDocs = args.headOption.map(_.toLong).getOrElse(600000L)
     val coresN = args.lift(1).map(_.toInt).getOrElse(8)
     val cores4N = args.lift(2).map(_.toInt).getOrElse(coresN * 4)
 
     val lo = runLevel(coresN, nDocs)
     val hi = runLevel(cores4N, nDocs)
+    writeReport(lo, hi, nDocs, coresN, cores4N)
+  }
+
+  private def writeReport(
+      lo: Level, hi: Level, nDocs: Long, coresN: Int, cores4N: Int): Unit = {
     val eff = hi.docsPerSec / ((cores4N.toDouble / coresN) * lo.docsPerSec)
 
-    def levelJson(l: Level): String = {
-      val q = l.queryP50Ms.keys.toSeq.sorted.map { k =>
-        s""""$k":{"p50":${l.queryP50Ms(k)},"p99":${l.queryP99Ms(k)}}"""
-      }.mkString("{", ",", "}")
-      s"""{"cores":${l.cores},"buildWallMs":${l.buildWallMs},""" +
-        s""""docsPerSec":${l.docsPerSec},"postings":${l.postingCount},""" +
-        s""""queryLatencyMs":$q}"""
-    }
-    println(levelJson(lo))
-    println(levelJson(hi))
+    println(levelJsonFull(lo))
+    println(levelJsonFull(hi))
     println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
       s""""nDocs":$nDocs,"coresN":$coresN,"cores4N":$cores4N}""")
 
