@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Correctness tests for the training-data pipeline operators, over a
+  * constructed corpus with KNOWN duplicates/clusters (the driver testdata
+  * has none), written in the same documents/embeddings parquet shape.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** dir with documents.parquet + embeddings.parquet fixtures. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ops_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      // 0/1: exact duplicates; 2: near-dup of 0 (one word changed)
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base.replace("kappa", "kppa"), "en", "s", base.length.toLong),
+      // 3: unrelated
+      (3L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen", "en", "s", 50L),
+      // 4: near-dup of 3 (two words changed)
+      (4L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen quince sixteen", "en", "s", 50L),
+      // 5-7: language-id fixtures
+      (5L, "the cat and the dog went to the market for the fish", "en",
+        "s", 40L),
+      (6L, "der hund und die katze sind mit der maus nicht da", "de",
+        "s", 40L),
+      (7L, "数据 处理 系统 非常 好 我们 喜欢 它 真的 很 好", "zh", "s", 30L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val c1 = unit(Array.fill(64)(rnd.nextFloat() - 0.5f))
+    val c2 = unit(Array.fill(64)(rnd.nextFloat() - 0.5f))
+    def near(c: Array[Float], eps: Float): Array[Float] =
+      unit(c.map(x => x + eps * (rnd.nextFloat() - 0.5f)))
+    val vecs = Seq(
+      (0L, c1, 0), (1L, near(c1, 0.05f), 0), (2L, near(c1, 0.1f), 0),
+      (3L, c2, 1), (4L, near(c2, 0.05f), 1),
+      (5L, unit(Array.fill(64)(rnd.nextFloat() - 0.5f)), 2))
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(spark, dir)
+      .select($"doc_id", $"n").as[(Long, Long)].collect().toMap
+    assert(r(0L) == 2L) // docs 0 and 1, representative = min id
+    assert(!r.contains(1L))
+    assert(r(2L) == 1L)
+  }
+
+  test("minhash estimate tracks true jaccard for near-dups") {
+    val pairs = Dedup.minhashPairs(spark, dir, threshold = 0.5)
+      .select($"id_a", $"id_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.contains((0L, 1L)) && m((0L, 1L)) == 1.0) // identical
+    // 0 vs 2: 3-shingle jaccard of one-word-changed 20-token docs ≈ 0.7
+    assert(m.contains((0L, 2L)))
+    assert(m((0L, 2L)) > 0.4 && m((0L, 2L)) < 1.0)
+    assert(!m.contains((0L, 3L)) && !m.contains((3L, 5L)))
+  }
+
+  test("simhash: identical docs at distance 0, near-dups small distance") {
+    val sigs = Dedup.simhash(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    val d02 = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val d03 = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(d02 < d03, s"near-dup hamming $d02 should be < unrelated $d03")
+    val pairs = Dedup.simhashPairs(spark, dir, maxDist = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("token-set jaccard matches hand computation") {
+    val r = Dedup.ngramJaccard(spark, dir, maxDocId = 8, threshold = 0.1)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(r((0L, 1L)) == 1.0)
+    // docs 3,4: 16 distinct words each, one differs → inter 15, union 17
+    assert(math.abs(r((3L, 4L)) - 15.0 / 17.0) < 0.001)
+  }
+
+  test("ann brute top-k: nearest neighbors of c1 are its cluster") {
+    val r = Ann.bruteTopK(spark, dir, queryVecId = 0L, k = 3)
+      .select($"vec_id").as[Long].collect().toVector
+    assert(r.take(2).toSet == Set(1L, 2L))
+  }
+
+  test("ann lsh: candidates are real, near-identical vector found") {
+    val r = Ann.lshTopK(spark, dir, queryVecId = 0L, k = 3,
+      planes = 6, tables = 8)
+      .select($"vec_id").as[Long].collect().toVector
+    assert(r.nonEmpty)
+    assert(r.contains(1L)) // eps=0.05 twin shares buckets w.h.p.
+  }
+
+  test("embedding cosine near-dup pairs find the planted twins") {
+    val pairs = Ann.cosineNearDupPairs(spark, dir, threshold = 0.95,
+      planes = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 <= 2 && p._2 == 3L))
+  }
+
+  test("language id: markers + CJK script") {
+    val r = TextStats.langId(spark, dir)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    assert(r(5L) == "en")
+    assert(r(6L) == "de")
+    assert(r(7L) == "zh")
+  }
+
+  test("quality ratios match hand computation") {
+    val r = TextStats.quality(spark, dir)
+      .filter($"doc_id" === 5L).collect()(0)
+    val text = "the cat and the dog went to the market for the fish"
+    assert(r.getAs[Int]("n_tokens") == text.split(" ").length)
+    // stop list hits: the(×4), and, to, for = 7 of 12
+    assert(r.getAs[Double]("stop_ratio") ==
+      math.rint(7.0 / 12 * 1000) / 1000)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("token counts: whitespace and BPE-ish regex") {
+    val r = TextStats.tokenCounts(spark, dir)
+      .filter($"doc_id" === 5L).collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 12)
+    assert(r.getAs[Int]("bpe_tokens") == 12) // pure letter runs
+  }
+
+  test("fingerprints: deterministic, equal for equal docs") {
+    val r = TextStats.fingerprints(spark, dir)
+      .select($"doc_id", $"fingerprint").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(r(0L) == r(1L))
+    assert(r(0L) != r(3L))
+    assert(r(0L).size == 4)
+  }
+
+  test("multimodal stub: schema + determinism + frame sampling shape") {
+    val m1 = Multimodal.imageMeta(spark, dir).collect()
+    val m2 = Multimodal.imageMeta(spark, dir).collect()
+    assert(m1.sameElements(m2))
+    assert(m1.length == 8)
+    val frames = Multimodal.frameSample(spark, dir, frameBytes = 16,
+      stride = 2).filter($"doc_id" === 0L).count()
+    val payload = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nFrames = (payload.length + 15) / 16
+    val expect = ((nFrames + 1) / 2).toLong // frame indices 0,2,4,…
+    assert(frames == expect)
+  }
+}
