@@ -81,7 +81,7 @@ object IndexBuilder {
         }
       }
       ft.write.mode("overwrite").parquet(ftPath(indexDir))
-      spark.read.parquet(ftPath(indexDir)).count()
+      footerRowCounts(spark, Seq(ftPath(indexDir))).sum
     }
     val ft = spark.read.parquet(ftPath(indexDir))
 
@@ -99,7 +99,7 @@ object IndexBuilder {
         .select($"docId", $"url", $"warc_ts", $"docLen")
       docs.write.mode("overwrite").parquet(docsPath(indexDir))
       assigned.release()
-      spark.read.parquet(docsPath(indexDir)).count()
+      footerRowCounts(spark, Seq(docsPath(indexDir))).sum
     }
     val docs = spark.read.parquet(docsPath(indexDir))
 
@@ -110,7 +110,7 @@ object IndexBuilder {
         conf.partitions, idName = "termId", keyName = "term")
       assigned.df.write.mode("overwrite").parquet(termsBasePath(indexDir))
       assigned.release()
-      spark.read.parquet(termsBasePath(indexDir)).count()
+      footerRowCounts(spark, Seq(termsBasePath(indexDir))).sum
     }
     val termsBase = spark.read.parquet(termsBasePath(indexDir))
 
@@ -136,7 +136,8 @@ object IndexBuilder {
             .sortWithinPartitions($"termId", $"docId")
           grp.write.mode("overwrite")
             .parquet(s"${postingsPath(indexDir)}/group=$g")
-          spark.read.parquet(s"${postingsPath(indexDir)}/group=$g").count()
+          footerRowCounts(spark,
+            Seq(s"${postingsPath(indexDir)}/group=$g")).sum
         }
       }
       joined.unpersist()
@@ -151,7 +152,7 @@ object IndexBuilder {
       termsBase.join(df, "termId")
         .select($"termId", $"term", $"df")
         .write.mode("overwrite").parquet(termsPath(indexDir))
-      spark.read.parquet(termsPath(indexDir)).count()
+      footerRowCounts(spark, Seq(termsPath(indexDir))).sum
     }
 
     // ---- stage stats (A5)
@@ -177,16 +178,19 @@ object IndexBuilder {
           Blocks.encode(it, bs, bucketSize))
         blocks.write.mode("overwrite")
           .parquet(s"${blocksPath(indexDir)}/group=$g")
-        spark.read.parquet(s"${blocksPath(indexDir)}/group=$g").count()
+        footerRowCounts(spark,
+          Seq(s"${blocksPath(indexDir)}/group=$g")).sum
       }
     }
 
-    // ---- meta + metrics + lineage view
-    val postingCount = postings.count()
+    // ---- meta + metrics + lineage view. Per-partition posting counts come
+    // from parquet FOOTERS (one row-count per written file = one per build
+    // partition) — no data scan, so metrics cost stays O(files).
+    val partCounts: Array[Long] = footerRowCounts(spark,
+      (0 until conf.postingGroups).map(g =>
+        s"${postingsPath(indexDir)}/group=$g"))
+    val postingCount = partCounts.sum
     val termCount = spark.read.parquet(termsPath(indexDir)).count()
-    val partCounts = postings
-      .groupBy(spark_partition_id().as("p")).agg(count(lit(1)).as("c"))
-      .select($"c").as[Long].collect()
     val perPartAvg =
       if (partCounts.isEmpty) 0.0 else partCounts.sum.toDouble / partCounts.length
     val perPartMax = if (partCounts.isEmpty) 0L else partCounts.max
@@ -207,6 +211,27 @@ object IndexBuilder {
       skewRatio = if (dfStats._2 == 0.0) 0.0 else dfStats._1 / dfStats._2)
     writeMeta(spark, indexDir, conf, bucketSize, metrics)
     metrics
+  }
+
+  /** Row count of every parquet data file under `dirs`, read from footers
+    * only (each written file = one build partition).
+    */
+  def footerRowCounts(
+      spark: SparkSession, dirs: Seq[String]): Array[Long] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    dirs.flatMap { d =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+    }.toArray
   }
 
   private def writeMeta(

@@ -23,6 +23,8 @@ object ScalingBench {
       buildWallMs: Long,
       docsPerSec: Double,
       postingCount: Long,
+      rawMB: Double, // corpus bytes (benchmark.rs:32-34 parity)
+      indexMB: Double, // on-disk index size (benchmark.rs:48-52 parity)
       queryP50Ms: Map[String, Double],
       queryP99Ms: Map[String, Double])
 
@@ -72,9 +74,21 @@ object ScalingBench {
       p50(name) = percentile(times, 0.50)
       p99(name) = percentile(times, 0.99)
     }
+    // corpus vs index size (space-reduction parity with benchmark.rs)
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit, sum}
+    val rawBytes = pages
+      .agg(sum(coalesce(length(col("text")), lit(0)) +
+        coalesce(length(col("html")), lit(0))))
+      .collect()(0).getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexBytes =
+      Seq("postings", "blocks", "docs", "terms", "stats").map(t =>
+        fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$dir/$t")).getLength).sum
     spark.stop()
     Level(cores, buildMs, nDocs * 1000.0 / buildMs, metrics.postingCount,
-      p50.toMap, p99.toMap)
+      rawBytes / 1e6, indexBytes / 1e6, p50.toMap, p99.toMap)
   }
 
   private def levelJsonFull(l: Level): String = {
@@ -83,6 +97,7 @@ object ScalingBench {
     }.mkString("{", ",", "}")
     s"""{"cores":${l.cores},"buildWallMs":${l.buildWallMs},""" +
       s""""docsPerSec":${l.docsPerSec},"postings":${l.postingCount},""" +
+      s""""rawMB":${l.rawMB},"indexMB":${l.indexMB},""" +
       s""""queryLatencyMs":$q}"""
   }
 
@@ -93,7 +108,7 @@ object ScalingBench {
     val qs = qre.findAllMatchIn(json).map(m =>
       (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
     Level(num("cores").toInt, num("buildWallMs").toLong, num("docsPerSec"),
-      num("postings").toLong,
+      num("postings").toLong, num("rawMB"), num("indexMB"),
       qs.map(q => q._1 -> q._2).toMap, qs.map(q => q._1 -> q._3).toMap)
   }
 
@@ -144,6 +159,10 @@ object ScalingBench {
     md.append(f"| index build docs/sec | ${lo.docsPerSec}%.0f | " +
       f"${hi.docsPerSec}%.0f |\n")
     md.append(s"| postings | ${lo.postingCount} | ${hi.postingCount} |\n")
+    md.append(f"| raw corpus MB | ${lo.rawMB}%.1f | ${hi.rawMB}%.1f |\n")
+    md.append(f"| index MB (space reduction ×) | " +
+      f"${lo.indexMB}%.1f (${lo.rawMB / lo.indexMB}%.1f×) | " +
+      f"${hi.indexMB}%.1f (${hi.rawMB / hi.indexMB}%.1f×) |\n")
     lo.queryP50Ms.keys.toSeq.sorted.foreach { k =>
       md.append(f"| query p50 ms — $k | ${lo.queryP50Ms(k)}%.0f | " +
         f"${hi.queryP50Ms(k)}%.0f |\n")

@@ -11,7 +11,9 @@ import graft.text.{Extract, Lexer}
 object ThreadScale {
   def main(args: Array[String]): Unit = {
     val perThread = args.headOption.map(_.toInt).getOrElse(4000)
-    for (threads <- Seq(1, 8, 32); phase <- Seq("gen", "extract", "tokenize")) {
+    val threadCounts =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 8, 32)
+    for (threads <- threadCounts; phase <- Seq("gen", "extract", "tokenize")) {
       val pool = Executors.newFixedThreadPool(threads)
       val t0 = System.nanoTime()
       (0 until threads).foreach { t =>
