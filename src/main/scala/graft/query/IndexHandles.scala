@@ -26,13 +26,21 @@ final class IndexHandles private (
     spark.read.parquet(IndexBuilder.statsPath(indexDir)).as[Stats].head()
   }
 
+  // cached partition counts sized to the data (~1M rows per cached
+  // partition), not to the writer's partitioning — a small dictionary must
+  // not cost 64 scheduler rounds per query
+  private def parts(rows: Long): Int =
+    math.max(1, math.min(256, (rows / 1000000L).toInt + 1))
+
   val terms: DataFrame = spark.read
     .parquet(IndexBuilder.termsPath(indexDir))
+    .coalesce(parts(meta("termCount").toLong))
     .persist(StorageLevel.MEMORY_AND_DISK)
 
   val docs: DataFrame = spark.read
     .parquet(IndexBuilder.docsPath(indexDir))
     .select("docId", "url")
+    .coalesce(parts(meta("docCount").toLong))
     .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Blocks of the candidate terms, group-pruned at the parquet layer. */

@@ -14,6 +14,12 @@ object QueryProfile {
     val iters = args.lift(2).map(_.toInt).getOrElse(5)
     val spark = SparkSearchCli.localSession("32")
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("--coalesce")) {
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    }
 
     val h = IndexHandles(spark, indexDir)
     def time(name: String)(body: => Unit): Unit = {
