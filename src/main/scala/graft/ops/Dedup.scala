@@ -83,7 +83,10 @@ object Dedup {
     val rows = numHashes / bands
     val sig = minhashSignatures(spark, sfDir, numHashes)
     val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
+    // the signature pipeline feeds the banding AND two join-backs — persist
+    // it once instead of recomputing the shingle aggregation per reference
     val withArr = sig.select(col("doc_id"), array(sigCols: _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = withArr.select(
       col("doc_id"), col("sig"),
