@@ -163,18 +163,37 @@ object Ann {
       .select("vec_id", "cos")
   }
 
-  /** Embedding-cosine near-duplicate pairs via shared LSH buckets. */
+  /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
+    *
+    * Scale shape: the bucket count (2^planes per table) must GROW with the
+    * corpus, or the bucket self-join degenerates to ~N²/buckets. With
+    * `planes ≈ log2(N/8)` the expected bucket width stays ~8 vectors, so
+    * per-table join cost is O(N) at every corpus size; recall lost to
+    * narrower buckets is recovered by OR-ing `tables` independent hash
+    * tables (candidate = same bucket in ANY table), all computed in one
+    * scan. Recall is ~60% for moderately-similar pairs (cos≈0.4, measured
+    * at N=500) and →1 for true near-identical vectors, whose plane-
+    * agreement probability approaches 1.
+    */
   def cosineNearDupPairs(
       spark: SparkSession,
       sfDir: String,
       threshold: Double = 0.35,
-      planes: Int = 4): DataFrame = {
-    val sigs = signatures(spark, sfDir, planes)
+      planes: Int = 0, // ≤0 → adaptive: ceil(log2(N/8)), clamped [4, 48]
+      tables: Int = 16): DataFrame = {
+    val nVec = emb(spark, sfDir).count()
+    val p =
+      if (planes > 0) planes
+      else math.min(48, math.max(4,
+        math.ceil(math.log(math.max(1.0, nVec / 8.0)) / math.log(2.0)).toInt))
+    val sigs = tableSignatures(spark, sfDir, p, tables)
     val a = sigs.as("a")
     val b = sigs.as("b")
     val cand = a.join(b,
-      col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
     val e = emb(spark, sfDir)
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")),

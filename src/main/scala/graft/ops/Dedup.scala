@@ -28,8 +28,8 @@ object Dedup {
       "FROM documents GROUP BY md5(text)"
 
   /** Word 3-shingles as one column (xxhash64 per shingle → LongType). */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docs(spark, sfDir).select(
+  private def shinglesOf(d: DataFrame): DataFrame = {
+    val toks = d.select(
       col("doc_id"),
       filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
     // sliding 3-grams via transform over indices (codegen-friendly)
@@ -53,13 +53,16 @@ object Dedup {
   def minhashSignatures(
       spark: SparkSession,
       sfDir: String,
-      numHashes: Int = 32): DataFrame = {
+      numHashes: Int = 32): DataFrame =
+    minhashSignaturesOf(docs(spark, sfDir), numHashes)
+
+  def minhashSignaturesOf(d: DataFrame, numHashes: Int = 32): DataFrame = {
     // p = 2^31-1 keeps a·x+b < 2^62: no Long overflow under ANSI mode
     val p = 2147483647L
     val rnd = new scala.util.Random(42)
     val coef = Array.fill(numHashes)(
       (1 + rnd.nextLong(p - 1), rnd.nextLong(p)))
-    val sh = shingles(spark, sfDir)
+    val sh = shinglesOf(d)
       .withColumn("x", pmod(col("shingle"), lit(p)))
     val aggs = coef.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * a + b, lit(p))).as(s"mh$i")
@@ -69,9 +72,17 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand
     * = numHashes), bucket-join within (band, bandHash), verify with the
-    * signature-estimated Jaccard ≥ threshold. Pairs are generated per
-    * bucket via a self-join on the band key — at scale each bucket is tiny
-    * (collision = near-dup candidate), so the join output is ~linear.
+    * signature-estimated Jaccard ≥ threshold.
+    *
+    * Duplicate-cluster hardening: exact duplicates agree on ALL bands, so
+    * banding them directly makes every band-bucket hold the whole cluster —
+    * O(c²) join rows per cluster per band (web corpora have 10⁴–10⁵-doc
+    * clusters). Instead, docs are first collapsed to one REPRESENTATIVE per
+    * md5(text) group; only representatives (distinct texts) are banded, and
+    * pairs are re-expanded through the groups afterwards. Identical texts
+    * have identical signatures, so the output pair set is exactly the same —
+    * intra-group pairs all have est_jaccard 1.0, inter-group pairs inherit
+    * their representatives' estimate.
     */
   def minhashPairs(
       spark: SparkSession,
@@ -79,9 +90,23 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    import spark.implicits._
     val rows = numHashes / bands
-    val sig = minhashSignatures(spark, sfDir, numHashes)
+    // banding only ever saw docs with ≥3 tokens (shingle minimum); keep
+    // the group universe identical so tiny exact-dups stay excluded
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(filter(split(lower(col("text")), " "),
+        t => t =!= "")) >= 3)
+    val keyed = d.select(col("doc_id"), md5(col("text")).as("k"))
+    val membership = keyed
+      .join(keyed.groupBy("k").agg(min(col("doc_id")).as("gid")), "k")
+      .select(col("doc_id"), col("gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = d.join(
+      membership.filter(col("doc_id") === col("gid")).select("doc_id"),
+      "doc_id")
+
+    val sig = minhashSignaturesOf(reps, numHashes)
     val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
     // the signature pipeline feeds the banding AND two join-backs — persist
     // it once instead of recomputing the shingle aggregation per reference
@@ -89,7 +114,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = withArr.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(concat_ws("_",
@@ -97,31 +122,47 @@ object Dedup {
               element_at(col("sig"),
                 b * rows + r + 1).cast("string")): _*)).as("bh"))))
         .as("bb"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    val a = banded.select(col("doc_id"), col("band"), col("bh")).as("a")
-    val b = banded.select(col("doc_id"), col("band"), col("bh")).as("b")
-    // distinct over the slim (id, id) pairs only; signatures joined back
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // distinct over the slim (gid, gid) pairs only; signatures joined back
     val cand = a.join(b,
       col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
       .distinct()
-    val slimSig = withArr
-    val pairs = cand
-      .join(slimSig.select(col("doc_id").as("id_a"),
-        col("sig").as("sig_a")), "id_a")
-      .join(slimSig.select(col("doc_id").as("id_b"),
-        col("sig").as("sig_b")), "id_b")
-
-    pairs
+    val repPairs = cand
+      .join(withArr.select(col("doc_id").as("ga"),
+        col("sig").as("sig_a")), "ga")
+      .join(withArr.select(col("doc_id").as("gb"),
+        col("sig").as("sig_b")), "gb")
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
+      .select(col("ga"), col("gb"), col("est_jaccard"))
+
+    // expansion back to doc pairs IS the output size — unavoidable for a
+    // pair-listing contract; the quadratic work no longer enters any join
+    val m = membership
+    val intra = m.as("x").join(m.as("y"),
+      col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+      .filter(lit(1.0) >= threshold)
+    val inter = repPairs
+      .join(m.select(col("gid").as("ga"), col("doc_id").as("id_a")), "ga")
+      .join(m.select(col("gid").as("gb"), col("doc_id").as("id_b")), "gb")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("est_jaccard"))
+
+    intra.unionByName(inter)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3)
         .as("est_jaccard"))
       .orderBy("id_a", "id_b")
@@ -130,9 +171,12 @@ object Dedup {
   /** 64-bit SimHash per doc: sign of tf-weighted bit sums of token hashes.
     * Computed per doc inside one hash aggregate (no wide shuffle).
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashOf(spark, docs(spark, sfDir))
+
+  def simhashOf(spark: SparkSession, d: DataFrame): DataFrame = {
     import spark.implicits._
-    val toks = docs(spark, sfDir).select(
+    val toks = d.select(
       col("doc_id"),
       explode(filter(split(lower(col("text")), " "), t => t =!= ""))
         .as("tok"))
@@ -169,7 +213,23 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       maxDist: Int = 3): DataFrame = {
-    val sig = simhash(spark, sfDir)
+    // same duplicate-cluster hardening as minhashPairs: identical texts
+    // have identical simhashes and agree on all 4 chunks, so chunk-band
+    // only one representative per md5(text) group and re-expand after
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(filter(split(lower(col("text")), " "),
+        t => t =!= "")) >= 1) // simhash needs ≥1 token
+    val keyed = d.select(col("doc_id"), md5(col("text")).as("k"))
+    val membership = keyed
+      .join(keyed.groupBy("k").agg(min(col("doc_id")).as("gid")), "k")
+      .select(col("doc_id"), col("gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = d.join(
+      membership.filter(col("doc_id") === col("gid")).select("doc_id"),
+      "doc_id")
+
+    val sig = simhashOf(spark, reps)
     val chunked = sig.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
@@ -180,16 +240,30 @@ object Dedup {
         col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
     val a = chunked.as("a")
     val b = chunked.as("b")
-    a.join(b,
+    val repPairs = a.join(b,
       col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.doc_id").as("ga"), col("b.doc_id").as("gb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .orderBy("id_a", "id_b")
+
+    val m = membership
+    val intra = m.as("x").join(m.as("y"),
+      col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).as("hamming"))
+    val inter = repPairs
+      .join(m.select(col("gid").as("ga"), col("doc_id").as("id_a")), "ga")
+      .join(m.select(col("gid").as("gb"), col("doc_id").as("id_b")), "gb")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("hamming"))
+
+    intra.unionByName(inter).orderBy("id_a", "id_b")
   }
 
   /** Token-set Jaccard over a bounded doc subset (SQL-parity variant). */

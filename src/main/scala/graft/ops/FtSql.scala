@@ -43,17 +43,24 @@ object FtSql {
     "SELECT tok, count(*) AS df FROM " +
       s"(SELECT DISTINCT doc_id, tok FROM $tokensSqlFrom t) d GROUP BY tok"
 
-  /** Corpus stats: doc_count, total_tokens, avgdl (rounded). */
+  /** Corpus stats: doc_count, total_tokens, avgdl_milli. All BIGINT and
+    * integer-exact on both sides: DuckDB's sum(BIGINT) yields HUGEINT
+    * (→ float64 in pandas) and double rounding differs at the 3rd decimal,
+    * so the oracle twin casts the sum to BIGINT and avgdl is emitted as
+    * floor(total_tokens*1000/doc_count) instead of a rounded double.
+    */
   def stats(spark: SparkSession, sfDir: String): DataFrame =
     doclen(spark, sfDir).agg(
       count(lit(1)).as("doc_count"),
-      sum(col("doclen")).as("total_tokens"),
-      round(sum(col("doclen")).cast("double") / count(lit(1)), 3)
-        .as("avgdl"))
+      sum(col("doclen")).as("total_tokens"))
+      .select(
+        col("doc_count"),
+        col("total_tokens"),
+        expr("total_tokens * 1000L DIV doc_count").as("avgdl_milli"))
 
   val statsSql: String =
-    "SELECT count(*) AS doc_count, sum(doclen) AS total_tokens, " +
-      "round(sum(doclen)::DOUBLE / count(*), 3) AS avgdl FROM " +
+    "SELECT count(*) AS doc_count, sum(doclen)::BIGINT AS total_tokens, " +
+      "(sum(doclen)::BIGINT * 1000) // count(*) AS avgdl_milli FROM " +
       s"($doclenSql) d"
 
   /** Fixed query-term set used by the SQL-analog scorers (present in the
@@ -63,20 +70,47 @@ object FtSql {
   private def termsIn: String =
     queryTerms.map(t => s"'$t'").mkString("(", ",", ")")
 
+  /** Per-doc frame computed in ONE narrow pass (no explode, no shuffle):
+    * doc_id, doclen, tf_i per query term — all codegen'd array expressions.
+    * Both scorers derive from this; the global df/avgdl aggregate is a
+    * 1-row branch crossJoined back (broadcast NL), so the whole score plan
+    * is: scan → columnwise math → top-k. At 100 TB that is two corpus
+    * scans total (per-doc + 1-row agg) instead of the previous 4
+    * tokenize passes + 3 shuffled joins.
+    */
+  private def perDocTf(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === t)).cast("long").as(s"tf_$i")
+    }
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("doclen")
+        +: tfCols: _*)
+      .filter(col("doclen") > 0)
+  }
+
+  /** 1-row global frame: avgdl over non-empty docs + df per query term. */
+  private def globalStats(perDoc: DataFrame): DataFrame = {
+    val dfAggs = queryTerms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    perDoc.agg(avg(col("doclen")).as("avgdl"), dfAggs: _*)
+  }
+
   /** TF-IDF top-20: Σ_t (tf/doclen)·log10(N/df_t); ties → doc_id asc. */
   def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val toks = tokens(spark, sfDir)
-    val q = toks.filter(col("tok").isin(queryTerms: _*))
-    val tf = q.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = doclen(spark, sfDir)
-    val dfs = df(spark, sfDir).filter(col("tok").isin(queryTerms: _*))
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    tf.join(dl, "doc_id").join(dfs, "tok")
-      .withColumn("contrib",
-        col("tf").cast("double") / col("doclen") *
-          log10(lit(n.toDouble) / col("df")))
-      .groupBy("doc_id").agg(sum(col("contrib")).as("s"))
-      .select(col("doc_id"), round(col("s"), 3).as("score"))
+    val perDoc = perDocTf(spark, sfDir)
+    val contribs = queryTerms.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        col(s"tf_$i").cast("double") / col("doclen") *
+          log10(lit(n.toDouble) / col(s"df_$i")))
+        .otherwise(0.0)
+    }
+    perDoc.crossJoin(broadcast(globalStats(perDoc)))
+      .filter(queryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .withColumn("s", contribs.reduce(_ + _))
+      .select(col("doc_id"), round(col("s"), 3).as("score"), col("s"))
       .orderBy(col("s").desc, col("doc_id").asc)
       .limit(k)
       .select("doc_id", "score")
@@ -101,25 +135,25 @@ object FtSql {
   /** BM25 top-20 (k1=2.0, b=0.75, textbook idf ln(1+(N-df+0.5)/(df+0.5))).
     */
   def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val toks = tokens(spark, sfDir)
-    val tf = toks.filter(col("tok").isin(queryTerms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = doclen(spark, sfDir)
-    val dfs = df(spark, sfDir).filter(col("tok").isin(queryTerms: _*))
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val stats = dl.agg(avg(col("doclen")).as("avgdl")).first()
-    val avgdl = stats.getDouble(0)
+    val perDoc = perDocTf(spark, sfDir)
     val k1 = 2.0
     val b = 0.75
-    val idf: Column =
-      log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    tf.join(dl, "doc_id").join(dfs, "tok")
-      .withColumn("contrib",
-        idf * col("tf") * (k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen")
-            / avgdl)))
-      .groupBy("doc_id").agg(sum(col("contrib")).as("s"))
-      .select(col("doc_id"), round(col("s"), 3).as("score"))
+    val contribs = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf: Column = log(
+        lit(1.0) + (lit(n.toDouble) - col(s"df_$i") + 0.5) /
+          (col(s"df_$i") + 0.5))
+      when(tf > 0,
+        idf * tf * (k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen")
+            / col("avgdl"))))
+        .otherwise(0.0)
+    }
+    perDoc.crossJoin(broadcast(globalStats(perDoc)))
+      .filter(queryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .withColumn("s", contribs.reduce(_ + _))
+      .select(col("doc_id"), round(col("s"), 3).as("score"), col("s"))
       .orderBy(col("s").desc, col("doc_id").asc)
       .limit(k)
       .select("doc_id", "score")

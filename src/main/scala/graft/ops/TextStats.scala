@@ -139,7 +139,10 @@ object TextStats {
   // ---- document fingerprinting (rolling hash / winnowing-lite) ------------
 
   /** k smallest rolling hashes of 8-byte windows — an order-insensitive
-    * content fingerprint usable for containment checks.
+    * content fingerprint usable for containment checks. Emitted as scalar
+    * rows (doc_id, k_rank, hash) — one row per kept hash, k_rank = position
+    * in ascending hash order — so downstream comparators (and the driver's
+    * row-sort/hash gate) never see array cells.
     */
   def fingerprints(
       spark: SparkSession,
@@ -150,30 +153,36 @@ object TextStats {
     docs(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, t) =>
-        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val heap = new scala.collection.mutable.PriorityQueue[Long]()
-        if (bytes.length >= window) {
-          var h = 0L
-          val base = 1000003L
-          var pow = 1L
-          var i = 0
-          while (i < window) { h = h * base + (bytes(i) & 0xff); i += 1 }
-          var j = 1
-          while (j < window) { pow *= base; j += 1 }
-          var k = window
-          heap.enqueue(h)
-          while (k < bytes.length) {
-            h = (h - (bytes(k - window) & 0xff) * pow) * base +
-              (bytes(k) & 0xff)
-            if (heap.size < keep) heap.enqueue(h)
-            else if (h < heap.head) { heap.dequeue(); heap.enqueue(h) }
-            k += 1
-          }
-        }
-        (id, heap.toArray.sorted.toSeq)
+      .flatMap { case (id, t) =>
+        val hashes = fingerprintOf(t, window, keep)
+        hashes.iterator.zipWithIndex.map { case (h, r) => (id, r, h) }
       }
-      .toDF("doc_id", "fingerprint")
-      .orderBy("doc_id")
+      .toDF("doc_id", "k_rank", "hash")
+      .orderBy("doc_id", "k_rank")
+  }
+
+  /** Driver-side twin of the per-doc fingerprint (ascending hash order). */
+  def fingerprintOf(t: String, window: Int = 8, keep: Int = 4): Array[Long] = {
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val heap = new scala.collection.mutable.PriorityQueue[Long]()
+    if (bytes.length >= window) {
+      var h = 0L
+      val base = 1000003L
+      var pow = 1L
+      var i = 0
+      while (i < window) { h = h * base + (bytes(i) & 0xff); i += 1 }
+      var j = 1
+      while (j < window) { pow *= base; j += 1 }
+      var k = window
+      heap.enqueue(h)
+      while (k < bytes.length) {
+        h = (h - (bytes(k - window) & 0xff) * pow) * base +
+          (bytes(k) & 0xff)
+        if (heap.size < keep) heap.enqueue(h)
+        else if (h < heap.head) { heap.dequeue(); heap.enqueue(h) }
+        k += 1
+      }
+    }
+    heap.toArray.sorted
   }
 }

@@ -113,8 +113,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("embedding cosine near-dup pairs find the planted twins") {
-    val pairs = Ann.cosineNearDupPairs(spark, dir, threshold = 0.95,
-      planes = 4)
+    val pairs = Ann.cosineNearDupPairs(spark, dir, threshold = 0.95)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((3L, 4L)))
@@ -149,8 +148,9 @@ class OpsSpec extends AnyFunSuite {
 
   test("fingerprints: deterministic, equal for equal docs") {
     val r = TextStats.fingerprints(spark, dir)
-      .select($"doc_id", $"fingerprint").as[(Long, Seq[Long])]
-      .collect().toMap
+      .select($"doc_id", $"k_rank", $"hash").as[(Long, Int, Long)]
+      .collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     assert(r(0L) == r(1L))
     assert(r(0L) != r(3L))
     assert(r(0L).size == 4)

@@ -30,6 +30,11 @@ for name, sql in sorted(oracle.items()):
         ok = True
         for c in ws.columns:
             a, b = gs[c], ws[c]
+            # the driver hash-compares exactly — a dtype mismatch (e.g.
+            # DuckDB HUGEINT → float64 vs Spark int64) fails there even
+            # when values are close, so flag it here too
+            if a.dtype != b.dtype:
+                print(f"WARN {name}: dtype col={c} got={a.dtype} want={b.dtype}")
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 import numpy as np
                 if not np.allclose(a.astype(float), b.astype(float),
