@@ -34,7 +34,11 @@ object IndexBuilder {
       postingGroups: Int = 4, // resumable group count (termId mod groups)
       blockSize: Int = Blocks.DefaultBlockSize,
       queryBuckets: Int = 64, // docId buckets aligning WAND scans
-      buildId: String = "build0")
+      buildId: String = "build0",
+      // true elides the per-url last-write-wins dedup shuffle — only for
+      // inputs that are unique-by-url by construction (e.g. an Iceberg
+      // snapshot with url as the merge key, or the synthetic bench corpus)
+      assumeUniqueUrls: Boolean = false)
 
   def ftPath(dir: String) = s"$dir/stage_ft"
   def docsPath(dir: String) = s"$dir/docs"
@@ -53,9 +57,25 @@ object IndexBuilder {
     val t0 = System.nanoTime()
     val cp = new Checkpoint(spark, indexDir, conf.buildId)
 
+    // ---- upsert semantics: the reference keys docs by path and re-adding
+    // replaces (model.rs add_document remove-then-insert); a snapshot table
+    // can hold several rows per url, so keep only the newest warc_ts
+    // (deterministic content-hash tiebreak). One shuffle on url; elided
+    // when the input is unique-by-url by construction.
+    val pagesIn =
+      if (conf.assumeUniqueUrls) pages
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"url").orderBy(
+          $"warc_ts".desc,
+          xxhash64(coalesce($"text", lit("")), coalesce($"html", lit(""))))
+        pages.withColumn("_rn", row_number().over(w))
+          .filter($"_rn" === 1).drop("_rn")
+      }
+
     // ---- stage ft: extract → tokenize → per-doc term counts (no shuffle)
     cp.stage("ft") {
-      val pagesDs = pages
+      val pagesDs = pagesIn
         .select("url", "warc_ts", "html", "text")
         .as[(String, java.sql.Timestamp, Array[Byte], String)]
       val ft = pagesDs.mapPartitions { it =>
@@ -92,7 +112,7 @@ object IndexBuilder {
       val assigned = DenseId.assign(
         spark, docLen.select($"url".as("value")).as[String],
         conf.partitions, idName = "docId", keyName = "url")
-      val pageMeta = pages.select($"url", $"warc_ts")
+      val pageMeta = pagesIn.select($"url", $"warc_ts")
       val docs = assigned.df
         .join(docLen, "url")
         .join(pageMeta, "url")
@@ -210,6 +230,11 @@ object IndexBuilder {
       postingsPerPartitionMax = perPartMax,
       skewRatio = if (dfStats._2 == 0.0) 0.0 else dfStats._1 / dfStats._2)
     writeMeta(spark, indexDir, conf, bucketSize, metrics)
+    // a rebuild over the same directory must not keep serving stale cached
+    // terms/docs handles (wallMs in meta.json makes every build distinct,
+    // so the meta-validated handle cache also self-heals — this is the
+    // eager path)
+    graft.query.IndexHandles.invalidate(indexDir)
     metrics
   }
 

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch UDF — one buffer of rows at a time, vectorizable
   * decode in the middle).
   *
-  * The DECODE STEP IS STUBBED: no image/audio codecs exist in this
-  * container, so `decodeImageStub` derives a deterministic fake
-  * (width/height/channel stats) from the bytes. The Spark-side contract —
-  * schema, binary column handling, batch shape, partition sizing — is real
-  * and tested; swap `decodeImageStub` for a real codec on a cluster.
+  * Image decode is REAL for PNG/JPEG/GIF/BMP via `javax.imageio` (ships in
+  * the JDK — no external codec needed): width/height/channels from the
+  * decoded raster, meanLuma and a 64-bit average-hash (aHash) from an 8×8
+  * deterministic luma sample grid. Payloads that are not a decodable image
+  * (and video frames, whose codecs are NOT in the JDK) fall back to
+  * `decodeImageStub`, a deterministic fake derived from byte stats, so the
+  * pipeline shape stays testable on any payload.
   */
 object Multimodal {
 
@@ -24,10 +26,62 @@ object Multimodal {
       meanLuma: Double,
       phash: Long)
 
-  /** STUB decode: deterministic pseudo-metadata from raw bytes. A real
-    * implementation would parse the container header (PNG/JPEG) and
-    * decode pixels; everything downstream of this function would not
-    * change.
+  /** True when the payload starts with a magic number ImageIO can decode
+    * out of the box (PNG / JPEG / GIF / BMP).
+    */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Real decode for JDK-supported formats; deterministic stub otherwise.
+    * meanLuma and phash come from an 8×8 grid of Rec.601 luma samples
+    * (cell centers) — cheap, O(64) getRGB calls regardless of image size,
+    * and deterministic across runs. phash = average-hash: bit i set iff
+    * sample i is brighter than the grid mean.
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): ImageMeta = {
+    if (!looksLikeImage(bytes)) return decodeImageStub(docId, bytes)
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return decodeImageStub(docId, bytes)
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getColorModel.getNumComponents
+      val g = new Array[Double](64)
+      var yi = 0
+      while (yi < 8) {
+        var xi = 0
+        while (xi < 8) {
+          val px = img.getRGB(
+            math.min(w - 1, xi * w / 8 + w / 16),
+            math.min(h - 1, yi * h / 8 + h / 16))
+          val r = (px >> 16) & 0xff
+          val gg = (px >> 8) & 0xff
+          val b = px & 0xff
+          g(yi * 8 + xi) = 0.299 * r + 0.587 * gg + 0.114 * b
+          xi += 1
+        }
+        yi += 1
+      }
+      val mean = g.sum / 64
+      var ph = 0L
+      var i = 0
+      while (i < 64) {
+        if (g(i) > mean) ph |= (1L << i)
+        i += 1
+      }
+      ImageMeta(docId, w, h, channels, math.rint(mean * 1000) / 1000, ph)
+    } catch {
+      case _: Exception => decodeImageStub(docId, bytes) // corrupt payload
+    }
+  }
+
+  /** STUB decode: deterministic pseudo-metadata from raw bytes, used for
+    * payloads that are not a JDK-decodable image (and for video frames).
     */
   def decodeImageStub(docId: Long, bytes: Array[Byte]): ImageMeta = {
     val n = math.max(1, bytes.length)
@@ -57,7 +111,7 @@ object Multimodal {
       .mapPartitions { batch =>
         // real codecs want reuse of decoder state per batch — this is the
         // seam where a JNI/codec context would be opened once per partition
-        batch.map { case (id, bytes) => decodeImageStub(id, bytes) }
+        batch.map { case (id, bytes) => decodeImage(id, bytes) }
       }
       .toDF()
       .orderBy("doc_id")

@@ -67,8 +67,22 @@ final class IndexHandles private (
 object IndexHandles {
   private val cache = TrieMap.empty[String, IndexHandles]
 
-  def apply(spark: SparkSession, indexDir: String): IndexHandles =
-    cache.getOrElseUpdate(indexDir, new IndexHandles(spark, indexDir))
+  /** Cached handle, validated against the CURRENT meta.json: any rebuild
+    * (wallMs makes every build's meta distinct) or external rewrite of the
+    * index directory drops the stale cached tables. Cost: one small-file
+    * read per call.
+    */
+  def apply(spark: SparkSession, indexDir: String): IndexHandles = {
+    val cur = IndexBuilder.readMeta(spark, indexDir)
+    cache.get(indexDir) match {
+      case Some(h) if h.meta == cur => h
+      case stale =>
+        stale.foreach(_.release())
+        val h = new IndexHandles(spark, indexDir)
+        cache.put(indexDir, h)
+        h
+    }
+  }
 
   /** Drop cached state (call after incremental updates rewrite tables). */
   def invalidate(indexDir: String): Unit =

@@ -33,6 +33,15 @@ object Extract {
       f.setProperty(
         XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
         java.lang.Boolean.FALSE)
+      // CDATA must surface as CDATA events (ignored, matching xml-rs),
+      // not CHARACTERS: the JDK's built-in SJSXP defaults report-cdata-
+      // event to false and would otherwise INCLUDE CDATA text. Woodstox
+      // (shipped with Spark) already reports CDATA; set the property
+      // explicitly so any StAX provider behaves identically.
+      try f.setProperty(
+        "http://java.sun.com/xml/stream/properties/report-cdata-event",
+        java.lang.Boolean.TRUE)
+      catch { case _: IllegalArgumentException => () } // provider lacks it
       f
     }
 

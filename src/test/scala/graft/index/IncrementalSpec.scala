@@ -102,6 +102,35 @@ class IncrementalSpec extends AnyFunSuite {
     updatedDir // assertions inside
   }
 
+  test("duplicate urls in one snapshot: last-write-wins ≡ winners-only " +
+      "build (model.rs add_document upsert)") {
+    val winners = v1.take(40)
+    val losers = winners.take(15).map(p => p.copy(
+      text = s"outdated superseded body for ${p.url}", html = null,
+      warc_ts = new Timestamp(p.warc_ts.getTime - 7200 * 1000L)))
+    val dupDir = java.nio.file.Files
+      .createTempDirectory("graft_dup_").toString
+    val winDir = java.nio.file.Files
+      .createTempDirectory("graft_win_").toString
+    IndexBuilder.build(spark, df(losers ++ winners), dupDir, conf)
+    IndexBuilder.build(spark, df(winners), winDir, conf)
+    def flat(dir: String): Set[(String, String, Int, Int)] = {
+      val docs = spark.read.parquet(IndexBuilder.docsPath(dir))
+        .select($"docId", $"url")
+      val terms = spark.read.parquet(IndexBuilder.termsPath(dir))
+        .select($"termId", $"term")
+      spark.read.parquet(IndexBuilder.postingsPath(dir))
+        .join(docs, "docId").join(terms, "termId")
+        .select($"url", $"term", $"tf", $"docLen")
+        .as[(String, String, Int, Int)].collect().toSet
+    }
+    assert(flat(dupDir) == flat(winDir))
+    // no duplicated doc rows either (the old behavior joined both copies)
+    val urls = spark.read.parquet(IndexBuilder.docsPath(dupDir))
+      .select($"url").as[String].collect()
+    assert(urls.length == urls.distinct.length)
+  }
+
   test("docs table ≡ fresh rebuild at (url, docLen) level; " +
       "stop-only doc gone, malformed doc keeps old version") {
     val upd = spark.read.parquet(IndexBuilder.docsPath(updatedDir))

@@ -156,6 +156,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r(0L).size == 4)
   }
 
+  test("multimodal: real PNG decode via ImageIO (dims, channels, aHash)") {
+    // 16×16 PNG, left half black, right half white
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    assert(Multimodal.looksLikeImage(bytes))
+    val m = Multimodal.decodeImage(7L, bytes)
+    assert(m.width == 16 && m.height == 16 && m.channels == 3)
+    assert(m.meanLuma == 127.5) // half 0-luma, half 255-luma samples
+    // aHash: the 4 right-hand sample columns of each row are bright →
+    // bits (row*8 + col) for col in 4..7 set
+    val expected = (0 until 8).flatMap(r => (4 until 8).map(c => r * 8 + c))
+      .foldLeft(0L)((acc, b) => acc | (1L << b))
+    assert(m.phash == expected)
+    // corrupt payload falls back to the deterministic stub
+    val bad = bytes.take(10)
+    assert(Multimodal.decodeImage(7L, bad) ==
+      Multimodal.decodeImageStub(7L, bad))
+  }
+
   test("multimodal stub: schema + determinism + frame sampling shape") {
     val m1 = Multimodal.imageMeta(spark, dir).collect()
     val m2 = Multimodal.imageMeta(spark, dir).collect()
