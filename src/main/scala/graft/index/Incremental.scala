@@ -83,7 +83,7 @@ object Incremental {
           case None => Iterator.empty // malformed → old version survives
           case Some(content) =>
             val counts = new java.util.HashMap[String, Integer]()
-            Lexer.tokenize(content).foreach(t =>
+            Lexer.foreachToken(content)(t =>
               counts.merge(t, 1, (a, b) => a + b))
             val out = Iterator.newBuilder[(String, java.sql.Timestamp,
               String, Int)]

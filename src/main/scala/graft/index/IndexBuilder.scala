@@ -13,6 +13,8 @@ import Schema._
 /** Distributed inverted-index build (SURVEY.md §2.3, §3.1 rebuild shape):
   *
   * pages ── extract+tokenize+per-doc hash agg ──► stage_ft(url, term, tf)
+  *   │     (+ 1 marker row per doc carrying warc_ts/docLen — pages is
+  *   │      scanned exactly ONCE per build; everything derives from ft)
   *   ├─► docs(docId, url, warc_ts, docLen)      [dense docId = url rank]
   *   ├─► terms(termId, term, df)                [dense termId = term rank]
   *   ├─► postings/group=g (termId, docId, tf, docLen)  range-partitioned by
@@ -79,43 +81,53 @@ object IndexBuilder {
         .select("url", "warc_ts", "html", "text")
         .as[(String, java.sql.Timestamp, Array[Byte], String)]
       val ft = pagesDs.mapPartitions { it =>
-        it.flatMap { case (url, _, html, text) =>
+        // one count map per PARTITION, cleared per doc — the per-doc
+        // allocation in this loop is what capped multi-core scaling
+        val counts = new java.util.HashMap[String, Integer](1 << 10)
+        it.flatMap { case (url, ts, html, text) =>
           Extract.extractText(html, text) match {
             case None => Iterator.empty // malformed XML → doc skipped
             case Some(content) =>
-              val counts =
-                new java.util.HashMap[String, Integer]()
-              Lexer.tokenize(content).foreach { tok =>
+              counts.clear()
+              Lexer.foreachToken(content) { tok =>
                 counts.merge(tok, 1, (a, b) => a + b)
               }
-              val out = new Array[FtRow](counts.size)
-              var i = 0
-              val e = counts.entrySet().iterator()
-              while (e.hasNext) {
-                val kv = e.next()
-                out(i) = FtRow(url, kv.getKey, kv.getValue)
-                i += 1
+              if (counts.isEmpty) Iterator.empty // A3: empty docs skipped
+              else {
+                val out = new Array[FtRow](counts.size + 1)
+                var i = 0
+                var docLen = 0L
+                val e = counts.entrySet().iterator()
+                while (e.hasNext) {
+                  val kv = e.next()
+                  out(i) = FtRow(url, kv.getKey, kv.getValue, null, 0L)
+                  docLen += kv.getValue.intValue()
+                  i += 1
+                }
+                // per-doc marker row: term=null, carries (warc_ts, docLen)
+                out(i) = FtRow(url, null, 0, ts, docLen)
+                out.iterator
               }
-              out.iterator
           }
         }
       }
       ft.write.mode("overwrite").parquet(ftPath(indexDir))
       footerRowCounts(spark, Seq(ftPath(indexDir))).sum
     }
-    val ft = spark.read.parquet(ftPath(indexDir))
+    // term rows feed postings/terms; marker rows (term=null) ARE the doc
+    // metadata — the pages input is never scanned again after stage ft
+    val ftAll = spark.read.parquet(ftPath(indexDir))
+    val ft = ftAll.filter($"term".isNotNull).select($"url", $"term", $"tf")
 
-    // ---- stage docs: docLen per url (A2/A3) + dense docIds by url rank
+    // ---- stage docs (A2/A3): dense docIds by url rank, meta from markers
     cp.stage("docs") {
-      val docLen = ft.groupBy($"url")
-        .agg(sum($"tf").cast("long").as("docLen"))
+      val markers = ftAll.filter($"term".isNull)
+        .select($"url", $"warc_ts", $"docLen")
       val assigned = DenseId.assign(
-        spark, docLen.select($"url".as("value")).as[String],
+        spark, markers.select($"url".as("value")).as[String],
         conf.partitions, idName = "docId", keyName = "url")
-      val pageMeta = pagesIn.select($"url", $"warc_ts")
       val docs = assigned.df
-        .join(docLen, "url")
-        .join(pageMeta, "url")
+        .join(markers, "url")
         .select($"docId", $"url", $"warc_ts", $"docLen")
       docs.write.mode("overwrite").parquet(docsPath(indexDir))
       assigned.release()

@@ -20,9 +20,19 @@ object Schema {
   final case class ExtractedDoc(url: String, warc_ts: Timestamp, text: String)
 
   /** Forward-index stage output: one row per (doc, term) — ≡ `Doc.ft`
-    * entries (`model.rs:29`), before ids are assigned.
+    * entries (`model.rs:29`), before ids are assigned. Each surviving doc
+    * additionally emits ONE marker row (term = null) carrying its warc_ts
+    * and docLen (= Σ tf, `Doc.count`), so the docs stage is derived from
+    * stage_ft alone — the (heavy) pages input is scanned exactly once per
+    * build. warc_ts/docLen are null/0 on term rows; parquet RLE makes the
+    * extra columns ~free.
     */
-  final case class FtRow(url: String, term: String, tf: Int)
+  final case class FtRow(
+      url: String,
+      term: String,
+      tf: Int,
+      warc_ts: Timestamp,
+      docLen: Long)
 
   /** ≡ `Docs` metadata (`model.rs:26-33`): docLen ≡ `Doc.count`. Only docs
     * with ≥1 surviving token exist here (A3).

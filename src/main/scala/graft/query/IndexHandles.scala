@@ -37,23 +37,51 @@ final class IndexHandles private (
     .coalesce(parts(meta("termCount").toLong))
     .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Driver-local dictionary when it's small enough (default ≤ 1M terms,
+    * tens of MB): query expansion then runs as a local loop — ZERO Spark
+    * jobs to plan a query. Big dictionaries keep the distributed scan.
+    * Tunable via session conf `graft.maxDriverDictTerms` (0 disables).
+    */
+  val driverDict: Option[Array[graft.index.Schema.TermEntry]] = {
+    val maxTerms = spark.conf
+      .getOption("graft.maxDriverDictTerms").map(_.toLong)
+      .getOrElse(1000000L)
+    if (meta("termCount").toLong <= maxTerms) {
+      import spark.implicits._
+      Some(terms.as[graft.index.Schema.TermEntry].collect())
+    } else None
+  }
+
+  // the (docId, url) projection is the per-query serving working set, but
+  // it grows with the corpus — above ~50M docs (≈ a few GB) it must not
+  // compete with execution memory, so pin it to disk-backed storage only
   val docs: DataFrame = spark.read
     .parquet(IndexBuilder.docsPath(indexDir))
     .select("docId", "url")
     .coalesce(parts(meta("docCount").toLong))
-    .persist(StorageLevel.MEMORY_AND_DISK)
+    .persist(
+      if (meta("docCount").toLong <= 50000000L) StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.DISK_ONLY)
+
+  // reader frames built ONCE per handle: re-creating them per query would
+  // redo file listing + footer/schema reads (hundreds of ms of per-query
+  // latency); the lazy plans + their FileIndex are reused by every filter
+  private val blocksDf: DataFrame =
+    spark.read.parquet(IndexBuilder.blocksPath(indexDir))
+  private val postingsDf: DataFrame =
+    spark.read.parquet(IndexBuilder.postingsPath(indexDir))
 
   /** Blocks of the candidate terms, group-pruned at the parquet layer. */
   def blocksFor(termIds: Seq[Long]): DataFrame =
-    pruned(IndexBuilder.blocksPath(indexDir), termIds)
+    pruned(blocksDf, termIds)
 
   def postingsFor(termIds: Seq[Long]): DataFrame =
-    pruned(IndexBuilder.postingsPath(indexDir), termIds)
+    pruned(postingsDf, termIds)
 
-  private def pruned(base: String, termIds: Seq[Long]): DataFrame = {
+  private def pruned(base: DataFrame, termIds: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.functions._
     val groups = termIds.map(_ % postingGroups).distinct
-    spark.read.parquet(base)
+    base
       .filter(col("group").isin(groups: _*))
       .filter(col("termId").isin(termIds: _*))
   }

@@ -58,40 +58,65 @@ object Search {
     if (tokens.isEmpty)
       return QueryPlan(Vector.empty, stats, avgdl)
 
-    val terms = h.terms.as[TermEntry]
-
     val withLen = tokens.map(t => (t, Expand.utf8Len(t)))
     val exactOnly = withLen.filter { case (_, l) => Expand.maxDist(l) == 0 }
     val fuzzy = withLen.filter { case (_, l) => Expand.maxDist(l) > 0 }
 
-    val exactPart =
-      if (exactOnly.isEmpty) spark.emptyDataset[(Long, String, Long, Float)]
-      else terms
-        .filter($"term".isin(exactOnly.map(_._1): _*))
-        .map(t => (t.termId, t.term, t.df, 1.0f))
-
-    val fuzzyPart =
-      if (fuzzy.isEmpty) spark.emptyDataset[(Long, String, Long, Float)]
-      else {
-        val maxLen = fuzzy.map { case (_, l) =>
-          math.max((l * 1.7).toInt, l + 2)
-        }.max
-        val fz = fuzzy // stable local for closure
-        terms
-          .filter(octet_length($"term") <= maxLen)
-          .flatMap { t =>
+    val collected: Array[(Long, String, Long, Float)] = h.driverDict match {
+      case Some(dict) =>
+        // small dictionary: expand locally — no Spark job. Same semantics
+        // as the distributed branch below (and as model.rs:96, which scans
+        // the whole dictionary per token).
+        val exactSet = exactOnly.map(_._1).toSet
+        val out = Array.newBuilder[(Long, String, Long, Float)]
+        var i = 0
+        while (i < dict.length) {
+          val t = dict(i)
+          if (exactSet.contains(t.term)) out += ((t.termId, t.term, t.df, 1.0f))
+          else if (fuzzy.nonEmpty) {
             var best = -1.0f
-            fz.foreach { case (tok, qlen) =>
+            fuzzy.foreach { case (tok, qlen) =>
               Expand.matchTerm(tok, qlen, t.term).foreach { w =>
                 if (w > best) best = w
               }
             }
-            if (best >= 0.0f) Iterator.single((t.termId, t.term, t.df, best))
-            else Iterator.empty
+            if (best >= 0.0f) out += ((t.termId, t.term, t.df, best))
           }
-      }
+          i += 1
+        }
+        out.result()
 
-    val collected = exactPart.union(fuzzyPart).collect()
+      case None =>
+        val terms = h.terms.as[TermEntry]
+        val exactPart =
+          if (exactOnly.isEmpty)
+            spark.emptyDataset[(Long, String, Long, Float)]
+          else terms
+            .filter($"term".isin(exactOnly.map(_._1): _*))
+            .map(t => (t.termId, t.term, t.df, 1.0f))
+        val fuzzyPart =
+          if (fuzzy.isEmpty) spark.emptyDataset[(Long, String, Long, Float)]
+          else {
+            val maxLen = fuzzy.map { case (_, l) =>
+              math.max((l * 1.7).toInt, l + 2)
+            }.max
+            val fz = fuzzy // stable local for closure
+            terms
+              .filter(octet_length($"term") <= maxLen)
+              .flatMap { t =>
+                var best = -1.0f
+                fz.foreach { case (tok, qlen) =>
+                  Expand.matchTerm(tok, qlen, t.term).foreach { w =>
+                    if (w > best) best = w
+                  }
+                }
+                if (best >= 0.0f)
+                  Iterator.single((t.termId, t.term, t.df, best))
+                else Iterator.empty
+              }
+          }
+        exactPart.union(fuzzyPart).collect()
+    }
     // cross-token max-merge (Q3) — exact duplicates across the two parts
     // can't happen (disjoint token sets), but a fuzzy token can reach an
     // exact token's term; keep the max weight per termId.
@@ -176,14 +201,27 @@ object Search {
     val scored =
       if (useWand) Wand.topK(spark, h, qp, method, k, params)
       else scoreNaive(spark, h, qp, method, params)
+    // ≤ k rows: land them on the driver and attach urls with a pruned
+    // lookup on the cached docs table (isin enables in-memory batch
+    // pruning) — a broadcast join here would stream the ENTIRE docs table
+    // through the probe side per query
     val top = scored
       .filter($"score" > 0.0f)
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
-    val docs = h.docs
-    // ≤ k rows on the left: broadcast THEM, stream the (huge) docs table
-    docs.join(broadcast(top), "docId")
-      .orderBy($"score".desc, $"docId".asc)
-      .select($"url", $"score", $"docId")
+      .as[(Long, Float)]
+      .collect()
+    if (top.isEmpty)
+      return spark.emptyDataset[(String, Float, Long)]
+        .toDF("url", "score", "docId")
+    val urls = h.docs
+      .filter($"docId".isin(top.map(_._1): _*))
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    val out = top.map { case (docId, score) =>
+      (urls.getOrElse(docId, ""), score, docId)
+    }.toSeq
+    spark.createDataset(out).toDF("url", "score", "docId")
   }
 }

@@ -239,11 +239,22 @@ object Wand {
       .drop("group")
       .as[TermBlock]
 
-    blocks
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_, it) =>
-        wandBucket(it, bInfo.value, avgdl, m, kk, p)
-      }
+    val partials =
+      if (qp.terms.size == 1)
+        // single term: every docId lives in exactly one block, and all
+        // blocks belong to the one cursor — per-PARTITION top-k needs no
+        // bucket co-location, so skip the shuffle entirely (1 Spark job)
+        blocks.mapPartitions { it =>
+          wandBucket(it, bInfo.value, avgdl, m, kk, p)
+        }
+      else
+        blocks
+          .groupByKey(_.bucket)
+          .flatMapGroups { (_, it) =>
+            wandBucket(it, bInfo.value, avgdl, m, kk, p)
+          }
+
+    partials
       .toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)

@@ -1,6 +1,5 @@
 package graft.text
 
-import java.util.Locale
 import scala.collection.mutable.ArrayBuffer
 
 /** The reference's 29 stop words (`/root/reference/src/lexer.rs:3-10`),
@@ -36,6 +35,15 @@ object Lexer {
   /** Tokenize a document or query string. */
   def tokenize(content: String): ArrayBuffer[String] = {
     val out = new ArrayBuffer[String]()
+    foreachToken(content)(out += _)
+    out
+  }
+
+  /** Streaming form of [[tokenize]] — the index build's per-doc hot path
+    * counts tokens straight into a hash map, so the intermediate buffer
+    * (and its growth copies) is pure allocation overhead there.
+    */
+  def foreachToken(content: String)(emit: String => Unit): Unit = {
     val n = content.length
     var i = 0 // UTF-16 index
     while (i < n) {
@@ -54,7 +62,7 @@ object Lexer {
         i = j
         // ignore single digit number (lexer.rs:59-61): count is in code
         // points, matching Rust's slice length over [char]
-        if (count > 1) out += content.substring(start, j)
+        if (count > 1) emit(content.substring(start, j))
       } else if (RustChar.isAlphabetic(cp)) {
         val start = i
         var j = i
@@ -62,16 +70,13 @@ object Lexer {
           j += Character.charCount(content.codePointAt(j))
         }
         i = j
-        val token = content.substring(start, j)
-        val stemmed =
-          Porter2.stem(token).toUpperCase(Locale.ROOT)
-        if (!StopWords.set.contains(stemmed)) out += stemmed
+        val stemmed = Porter2.stemUpper(content.substring(start, j))
+        if (!StopWords.set.contains(stemmed)) emit(stemmed)
       } else {
         val w = Character.charCount(cp)
-        out += content.substring(i, i + w)
+        emit(content.substring(i, i + w))
         i += w
       }
     }
-    out
   }
 }

@@ -43,6 +43,37 @@ object Porter2 {
     "inning", "outing", "canning", "herring", "earring",
     "proceed", "exceed", "succeed")
 
+  /** exception1 results pre-uppercased for the fused stem+upper path. */
+  private val exception1Upper: Map[String, String] =
+    exception1.map { case (k, v) =>
+      k -> v.toUpperCase(java.util.Locale.ROOT)
+    }
+
+  private val exception2Arr: Array[String] = exception2.toArray
+
+  /** Allocation-free exception2 membership test on the work buffer. */
+  private def isException2(sb: java.lang.StringBuilder): Boolean = {
+    var i = 0
+    while (i < exception2Arr.length) {
+      val c = exception2Arr(i)
+      if (c.length == sb.length) {
+        var k = 0
+        var ok = true
+        while (ok && k < c.length) {
+          ok = sb.charAt(k) == c.charAt(k)
+          k += 1
+        }
+        if (ok) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  // the stemmer's work buffer — one per thread, reused across tokens
+  private val workBuf: ThreadLocal[java.lang.StringBuilder] =
+    ThreadLocal.withInitial(() => new java.lang.StringBuilder(32))
+
   /** A short syllable *ending at* index `end` (exclusive). */
   private def shortSyllableEndingAt(w: CharSequence, end: Int): Boolean = {
     if (end == 2)
@@ -60,12 +91,51 @@ object Porter2 {
       case None =>
     }
     if (word.length <= 2) return word
+    val sb = workBuf.get()
+    sb.setLength(0)
+    sb.append(word)
+    stemBuf(sb)
+    sb.toString
+  }
 
-    val sb = new java.lang.StringBuilder(word)
+  /** Fused stem + `toUpperCase(Locale.ROOT)` — the per-token form the lexer
+    * needs (`lexer.rs:69-72`) with ONE String allocation instead of three
+    * (buffer copy + stem result + uppercase result). The in-place ASCII
+    * uppercase is exact for code points < 0x80 (ROOT uppercasing has no
+    * special expansions there); buffers with any non-ASCII char take the
+    * library fallback.
+    */
+  def stemUpper(word: String): String = {
+    exception1Upper.get(word) match {
+      case Some(r) => return r
+      case None =>
+    }
+    if (word.length <= 2) return word.toUpperCase(java.util.Locale.ROOT)
+    val sb = workBuf.get()
+    sb.setLength(0)
+    sb.append(word)
+    stemBuf(sb)
+    var i = 0
+    var ascii = true
+    while (ascii && i < sb.length) {
+      ascii = sb.charAt(i) < 0x80
+      i += 1
+    }
+    if (!ascii) return sb.toString.toUpperCase(java.util.Locale.ROOT)
+    var k = 0
+    while (k < sb.length) {
+      val c = sb.charAt(k)
+      if (c >= 'a' && c <= 'z') sb.setCharAt(k, (c - 32).toChar)
+      k += 1
+    }
+    sb.toString
+  }
 
+  /** The algorithm proper, in-place on the caller's buffer. */
+  private def stemBuf(sb: java.lang.StringBuilder): Unit = {
     // ---- prelude -------------------------------------------------------
     if (sb.length > 0 && sb.charAt(0) == '\'') sb.deleteCharAt(0)
-    if (sb.length == 0) return sb.toString
+    if (sb.length == 0) return
     if (sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
     var i = 1
     while (i < sb.length) {
@@ -133,20 +203,19 @@ object Porter2 {
       if (hasVowelIn(0, sb.length - 2)) replaceSuffix(1, "")
     }
 
-    if (exception2.contains(sb.toString)) return sb.toString
+    if (isException2(sb)) return
 
     // ---- Step 1b --------------------------------------------------------
-    val w1b = sb.toString
-    if (w1b.endsWith("eedly")) {
+    if (endsWith("eedly")) {
       if (inR1(sb.length - 5)) replaceSuffix(5, "ee")
-    } else if (w1b.endsWith("eed")) {
+    } else if (endsWith("eed")) {
       if (inR1(sb.length - 3)) replaceSuffix(3, "ee")
     } else {
       val sufLen =
-        if (w1b.endsWith("ingly")) 5
-        else if (w1b.endsWith("edly")) 4
-        else if (w1b.endsWith("ing")) 3
-        else if (w1b.endsWith("ed")) 2
+        if (endsWith("ingly")) 5
+        else if (endsWith("edly")) 4
+        else if (endsWith("ing")) 3
+        else if (endsWith("ed")) 2
         else 0
       if (sufLen > 0 && hasVowelIn(0, sb.length - sufLen)) {
         replaceSuffix(sufLen, "")
@@ -262,7 +331,6 @@ object Porter2 {
       if (sb.charAt(k) == 'Y') sb.setCharAt(k, 'y')
       k += 1
     }
-    sb.toString
   }
 
   private def startsWith(sb: java.lang.StringBuilder, s: String): Boolean = {

@@ -1,0 +1,156 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.query.{IndexHandles, Search}
+
+/** Thin serving analog of the reference's embedded HTTP server
+  * (`/root/reference/src/server.rs:60-136, 204-260`), on the JDK's built-in
+  * `com.sun.net.httpserver` — no extra dependencies. Response shapes mirror
+  * the reference:
+  *
+  *   - `POST /api/search` — body IS the raw query string (server.rs:62-75,
+  *     not JSON); responds the serde shape of `Vec<(PathBuf, f32)>`:
+  *     `[["url", rank], ...]`, positive scores only, top 10
+  *     (server.rs:86-90).
+  *   - `GET /api/stats` — `{"doc_count": N, "unique_term_count": M}`
+  *     (server.rs:112-122).
+  *   - `GET /file?path=<url>` — document fetch. The reference canonicalizes
+  *     the path and refuses anything outside the indexed root
+  *     (server.rs:204-231); the table-world analog of that traversal guard
+  *     is: the decoded url must be a key of the index's docs table, and the
+  *     body is the corpus row's stored text (404 otherwise — nothing
+  *     outside the indexed corpus is reachable).
+  *   - `GET /` — a minimal embedded search page (stand-in for the
+  *     compile-time-embedded UI, server.rs:244-251).
+  *
+  * Usage: runMain graft.tools.Serve <indexDir> [port] [bm25|tfidf]
+  *        [documentsParquetDirForFileFetch]
+  */
+object Serve {
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def respond(
+      ex: HttpExchange,
+      code: Int,
+      body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  /** `?name=value` extraction with the reference's percent-decoding
+    * (server.rs:147-189: `+` → space, `%XX` → byte).
+    */
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap {
+      _.split('&').iterator.map(_.split("=", 2)).collectFirst {
+        case Array(k, v) if k == name =>
+          java.net.URLDecoder.decode(v, UTF_8)
+      }
+    }
+
+  private val page: String =
+    """<!doctype html><html><head><meta charset="utf-8">
+      |<title>graft search</title></head><body>
+      |<h3>graft search</h3>
+      |<input id="q" size="60" placeholder="query"> <button id="go">search
+      |</button><pre id="out"></pre>
+      |<script>
+      |document.getElementById('go').onclick = async () => {
+      |  const r = await fetch('/api/search', {method: 'POST',
+      |    body: document.getElementById('q').value});
+      |  document.getElementById('out').textContent =
+      |    JSON.stringify(await r.json(), null, 2);
+      |};
+      |</script></body></html>""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val indexDir = args(0)
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val method = args.lift(2) match {
+      case Some("tfidf") => Search.Tfidf
+      case _ => Search.Bm25
+    }
+    val corpusDir = args.lift(3)
+
+    val spark = SparkSearchCli.localSession("*")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val h = IndexHandles(spark, indexDir) // warms meta/terms/docs caches
+
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+
+    server.createContext("/api/search", (ex: HttpExchange) =>
+      try {
+        if (ex.getRequestMethod != "POST") respond(ex, 405, """"POST only"""")
+        else {
+          val query = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val rows = Search.searchTop(spark, indexDir, query, method, 10)
+            .select("url", "score").as[(String, Float)].collect()
+          val json = rows.map { case (u, s) => s"""["${esc(u)}",$s]""" }
+            .mkString("[", ",", "]")
+          respond(ex, 200, json)
+        }
+      } catch { case e: Exception => respond(ex, 500, s""""${esc(
+        String.valueOf(e.getMessage))}"""") })
+
+    server.createContext("/api/stats", (ex: HttpExchange) =>
+      try {
+        val s = h.stats
+        val termCount = h.meta("termCount")
+        respond(ex, 200,
+          s"""{"doc_count":${s.docCount},"unique_term_count":$termCount}""")
+      } catch { case e: Exception => respond(ex, 500, s""""${esc(
+        String.valueOf(e.getMessage))}"""") })
+
+    server.createContext("/file", (ex: HttpExchange) =>
+      try {
+        queryParam(ex, "path") match {
+          case None => respond(ex, 400, """"Missing file path query parameter"""")
+          case Some(url) =>
+            // traversal guard analog: only urls present in the index's docs
+            // table are reachable
+            val known = h.docs.filter($"url" === url).limit(1).count() > 0
+            // corpusDir = parquet of pages rows (url, ..., text)
+            val text = corpusDir.filter(_ => known).flatMap { dir =>
+              spark.read.parquet(dir)
+                .filter($"url" === url).select("text")
+                .as[String].collect().headOption
+            }
+            text match {
+              case Some(t) => respond(ex, 200, t, "text/plain; charset=utf-8")
+              case None => respond(ex, 404, """"not found"""")
+            }
+        }
+      } catch { case e: Exception => respond(ex, 500, s""""${esc(
+        String.valueOf(e.getMessage))}"""") })
+
+    server.createContext("/", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/" ||
+          ex.getRequestURI.getPath == "/index.html")
+        respond(ex, 200, page, "text/html; charset=utf-8")
+      else respond(ex, 404, """"not found""""))
+
+    server.start()
+    println(s"serving index $indexDir on http://localhost:$port " +
+      s"(method=${if (method == Search.Bm25) "bm25" else "tfidf"})")
+    // keep the foreground thread alive; ctrl-c stops
+    Thread.currentThread().join()
+  }
+}

@@ -91,6 +91,23 @@ class IndexEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       engineTop(q, Search.Bm25, useWand = false, k = 1000))
   }
 
+  test("distributed dictionary expansion ≡ driver-local expansion " +
+      "(graft.maxDriverDictTerms=0 forces the big-dictionary path)") {
+    val queries = Seq("texture array shader", "textur aray shaderz", "opengl")
+    val before = queries.map(q => engineTop(q, Search.Bm25, useWand = true))
+    graft.query.IndexHandles.invalidate(indexDir)
+    spark.conf.set("graft.maxDriverDictTerms", "0")
+    try {
+      val h = graft.query.IndexHandles(spark, indexDir)
+      assert(h.driverDict.isEmpty)
+      val after = queries.map(q => engineTop(q, Search.Bm25, useWand = true))
+      assert(after == before)
+    } finally {
+      spark.conf.unset("graft.maxDriverDictTerms")
+      graft.query.IndexHandles.invalidate(indexDir)
+    }
+  }
+
   test("engine stats match oracle (docCount, totalTokens, dictionary)") {
     val stats = Search.loadStats(spark, indexDir)
     assert(stats.docCount == oracle.docs.size.toLong)
