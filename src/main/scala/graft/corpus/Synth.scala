@@ -119,13 +119,29 @@ object Synth {
     }
   }
 
+  /** Log-uniform (≈ zipf) pick from a large synthetic tail-vocabulary id
+    * space — O(1) per pick, unlike the inverse-CDF used for the tiny core
+    * vocab. Tail words make the DICTIONARY realistically large (the core
+    * vocab alone has 85 distinct terms, which makes terms-stage and
+    * dictionary-scan costs degenerate at bench scale).
+    */
+  private def pickTail(rng: Rng, tailVocab: Int): String = {
+    val u = (rng.nextLong() >>> 11) * (1.0 / (1L << 53))
+    val id = math.min(tailVocab - 1L,
+      math.exp(u * math.log(tailVocab.toDouble)).toLong - 1L)
+    "w" + java.lang.Long.toString(id, 36)
+  }
+
   private val stopOnly =
     "the is and or with from this that not no to of in on at"
 
   val epochBaseMillis: Long = 1767225600000L // 2026-01-01T00:00:00Z
 
-  /** Deterministic page i of a corpus with the given seed. */
-  def page(i: Long, seed: Long = 42L): PageRow = {
+  /** Deterministic page i of a corpus with the given seed. `tailVocab > 0`
+    * mixes ~20% tail words from a log-uniform id space of that size into
+    * each body (default 0 keeps the pinned fixture corpus byte-identical).
+    */
+  def page(i: Long, seed: Long = 42L, tailVocab: Int = 0): PageRow = {
     val rng = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L + 1))
     val isXhtml = i % 3 == 0
     val ext = if (isXhtml) "xhtml" else "txt"
@@ -142,7 +158,9 @@ object Synth {
         var k = 0
         while (k < len) {
           if (k > 0) sb.append(' ')
-          sb.append(pickWord(rng, topicStart))
+          if (tailVocab > 0 && rng.nextInt(5) == 1)
+            sb.append(pickTail(rng, tailVocab))
+          else sb.append(pickWord(rng, topicStart))
           k += 1
         }
         sb.toString
@@ -182,12 +200,14 @@ object Synth {
       spark: org.apache.spark.sql.SparkSession,
       n: Long,
       seed: Long = 42L,
-      partitions: Int = 64): org.apache.spark.sql.DataFrame = {
+      partitions: Int = 64,
+      tailVocab: Int = 0): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    val tv = tailVocab
     spark.range(0L, n, 1L, partitions)
       .mapPartitions { it =>
         it.map { i =>
-          val p = page(i, seed)
+          val p = page(i, seed, tv)
           graft.index.Schema.Page(p.url, p.warc_ts, p.html, p.text, p.lang)
         }
       }

@@ -100,28 +100,34 @@ object IndexBuilder {
                 val e = counts.entrySet().iterator()
                 while (e.hasNext) {
                   val kv = e.next()
-                  out(i) = FtRow(url, kv.getKey, kv.getValue, null, 0L)
+                  out(i) = FtRow(url, kv.getKey, kv.getValue, null, 0L,
+                    m = false)
                   docLen += kv.getValue.intValue()
                   i += 1
                 }
                 // per-doc marker row: term=null, carries (warc_ts, docLen)
-                out(i) = FtRow(url, null, 0, ts, docLen)
+                out(i) = FtRow(url, null, 0, ts, docLen, m = true)
                 out.iterator
               }
           }
         }
       }
-      ft.write.mode("overwrite").parquet(ftPath(indexDir))
-      footerRowCounts(spark, Seq(ftPath(indexDir))).sum
+      // partitionBy(m): markers land in their own files (no shuffle — each
+      // task just writes two files), so downstream stages scan ONLY the
+      // side they need
+      ft.write.mode("overwrite").partitionBy("m").parquet(ftPath(indexDir))
+      footerRowCounts(spark,
+        Seq(s"${ftPath(indexDir)}/m=true", s"${ftPath(indexDir)}/m=false"))
+        .sum
     }
-    // term rows feed postings/terms; marker rows (term=null) ARE the doc
-    // metadata — the pages input is never scanned again after stage ft
-    val ftAll = spark.read.parquet(ftPath(indexDir))
-    val ft = ftAll.filter($"term".isNotNull).select($"url", $"term", $"tf")
+    // term rows feed postings/terms; marker rows ARE the doc metadata —
+    // the pages input is never scanned again after stage ft
+    val ft = spark.read.parquet(s"${ftPath(indexDir)}/m=false")
+      .select($"url", $"term", $"tf")
 
     // ---- stage docs (A2/A3): dense docIds by url rank, meta from markers
     cp.stage("docs") {
-      val markers = ftAll.filter($"term".isNull)
+      val markers = spark.read.parquet(s"${ftPath(indexDir)}/m=true")
         .select($"url", $"warc_ts", $"docLen")
       val assigned = DenseId.assign(
         spark, markers.select($"url".as("value")).as[String],

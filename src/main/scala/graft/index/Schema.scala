@@ -32,7 +32,10 @@ object Schema {
       term: String,
       tf: Int,
       warc_ts: Timestamp,
-      docLen: Long)
+      docLen: Long,
+      m: Boolean) // marker flag — doubles as the parquet PARTITION column
+      // so the docs stage reads only the (small) m=true files and the
+      // postings/terms stages read only m=false, with no row filtering
 
   /** ≡ `Docs` metadata (`model.rs:26-33`): docLen ≡ `Doc.count`. Only docs
     * with ≥1 surviving token exist here (A3).
