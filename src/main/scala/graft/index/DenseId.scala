@@ -21,17 +21,20 @@ object DenseId {
     */
   final case class Assigned(df: DataFrame, release: () => Unit)
 
-  /** Returns (key, id) for every distinct key of `keys`. */
+  /** Returns (key, id) for every distinct key of `keys`. Pass
+    * `inputDistinct = true` when the caller guarantees unique keys (e.g.
+    * one marker row per url) — skips a full dedup shuffle.
+    */
   def assign(
       spark: SparkSession,
       keys: Dataset[String],
       partitions: Int,
       idName: String = "id",
-      keyName: String = "key"): Assigned = {
+      keyName: String = "key",
+      inputDistinct: Boolean = false): Assigned = {
     import spark.implicits._
 
-    val sorted = keys
-      .distinct()
+    val sorted = (if (inputDistinct) keys else keys.distinct())
       .repartitionByRange(partitions, col("value"))
       .sortWithinPartitions("value")
 

@@ -42,6 +42,26 @@ object IndexBuilder {
       // snapshot with url as the merge key, or the synthetic bench corpus)
       assumeUniqueUrls: Boolean = false)
 
+  /** Run independent build stages concurrently on one SparkSession —
+    * Spark schedules their jobs side by side, so small stages share the
+    * cluster instead of each paying the full job-submission + scan floor
+    * sequentially (this fixed tail was the main Amdahl drag on N→4N
+    * scaling). Rethrows the first failure.
+    */
+  private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futures = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      futures.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
+  }
+
   def ftPath(dir: String) = s"$dir/stage_ft"
   def docsPath(dir: String) = s"$dir/docs"
   def termsBasePath(dir: String) = s"$dir/terms_base"
@@ -125,31 +145,38 @@ object IndexBuilder {
     val ft = spark.read.parquet(s"${ftPath(indexDir)}/m=false")
       .select($"url", $"term", $"tf")
 
-    // ---- stage docs (A2/A3): dense docIds by url rank, meta from markers
-    cp.stage("docs") {
-      val markers = spark.read.parquet(s"${ftPath(indexDir)}/m=true")
-        .select($"url", $"warc_ts", $"docLen")
-      val assigned = DenseId.assign(
-        spark, markers.select($"url".as("value")).as[String],
-        conf.partitions, idName = "docId", keyName = "url")
-      val docs = assigned.df
-        .join(markers, "url")
-        .select($"docId", $"url", $"warc_ts", $"docLen")
-      docs.write.mode("overwrite").parquet(docsPath(indexDir))
-      assigned.release()
-      footerRowCounts(spark, Seq(docsPath(indexDir))).sum
-    }
+    // ---- stages docs ∥ terms_base: independent of each other — run
+    // their jobs concurrently (A2/A3; dense ids = rank in global order)
+    runConcurrently(Seq(
+      () => {
+        cp.stage("docs") {
+          val markers = spark.read.parquet(s"${ftPath(indexDir)}/m=true")
+            .select($"url", $"warc_ts", $"docLen")
+          val assigned = DenseId.assign(
+            spark, markers.select($"url".as("value")).as[String],
+            conf.partitions, idName = "docId", keyName = "url",
+            inputDistinct = true) // exactly one marker row per url
+          val docs = assigned.df
+            .join(markers, "url")
+            .select($"docId", $"url", $"warc_ts", $"docLen")
+          docs.write.mode("overwrite").parquet(docsPath(indexDir))
+          assigned.release()
+          footerRowCounts(spark, Seq(docsPath(indexDir))).sum
+        }
+        ()
+      },
+      () => {
+        cp.stage("terms_base") {
+          val assigned = DenseId.assign(
+            spark, ft.select($"term".as("value")).as[String],
+            conf.partitions, idName = "termId", keyName = "term")
+          assigned.df.write.mode("overwrite").parquet(termsBasePath(indexDir))
+          assigned.release()
+          footerRowCounts(spark, Seq(termsBasePath(indexDir))).sum
+        }
+        ()
+      }))
     val docs = spark.read.parquet(docsPath(indexDir))
-
-    // ---- stage terms_base: dense termIds by term rank (UTF-8 byte order)
-    cp.stage("terms_base") {
-      val assigned = DenseId.assign(
-        spark, ft.select($"term".as("value")).as[String],
-        conf.partitions, idName = "termId", keyName = "term")
-      assigned.df.write.mode("overwrite").parquet(termsBasePath(indexDir))
-      assigned.release()
-      footerRowCounts(spark, Seq(termsBasePath(indexDir))).sum
-    }
     val termsBase = spark.read.parquet(termsBasePath(indexDir))
 
     // ---- stage postings (grouped, resumable): join ids, range-partition by
@@ -166,7 +193,8 @@ object IndexBuilder {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val perGroupParts =
         math.max(1, conf.partitions / conf.postingGroups)
-      (0 until conf.postingGroups).foreach { g =>
+      joined.count() // materialize the cache ONCE, in one parallel job
+      runConcurrently((0 until conf.postingGroups).map(g => () => {
         cp.stage("postings", g) {
           val grp = joined
             .filter(pmod($"termId", lit(conf.postingGroups)) === g)
@@ -177,37 +205,46 @@ object IndexBuilder {
           footerRowCounts(spark,
             Seq(s"${postingsPath(indexDir)}/group=$g")).sum
         }
-      }
+        ()
+      }))
       joined.unpersist()
     }
     val postings = spark.read.parquet(
       (0 until conf.postingGroups)
         .map(g => s"${postingsPath(indexDir)}/group=$g"): _*)
 
-    // ---- stage terms: df = postings per termId (A4; unique (term,doc))
-    cp.stage("terms") {
-      val df = postings.groupBy($"termId").agg(count(lit(1)).as("df"))
-      termsBase.join(df, "termId")
-        .select($"termId", $"term", $"df")
-        .write.mode("overwrite").parquet(termsPath(indexDir))
-      footerRowCounts(spark, Seq(termsPath(indexDir))).sum
-    }
-
-    // ---- stage stats (A5)
-    cp.stage("stats") {
-      docs.agg(
-        count(lit(1)).cast("long").as("docCount"),
-        sum($"docLen").cast("long").as("totalTokens"))
-        .write.mode("overwrite").parquet(statsPath(indexDir))
-      1L
-    }
+    // ---- stages terms ∥ stats: independent — run concurrently
+    runConcurrently(Seq(
+      () => {
+        // terms: df = postings per termId (A4; unique (term,doc))
+        cp.stage("terms") {
+          val df = postings.groupBy($"termId").agg(count(lit(1)).as("df"))
+          termsBase.join(df, "termId")
+            .select($"termId", $"term", $"df")
+            .write.mode("overwrite").parquet(termsPath(indexDir))
+          footerRowCounts(spark, Seq(termsPath(indexDir))).sum
+        }
+        ()
+      },
+      () => {
+        // stats (A5)
+        cp.stage("stats") {
+          docs.agg(
+            count(lit(1)).cast("long").as("docCount"),
+            sum($"docLen").cast("long").as("totalTokens"))
+            .write.mode("overwrite").parquet(statsPath(indexDir))
+          1L
+        }
+        ()
+      }))
     val statsRow = spark.read.parquet(statsPath(indexDir))
       .as[Stats].collect()(0)
     val bucketSize = math.max(
       1L, (statsRow.docCount + conf.queryBuckets - 1) / conf.queryBuckets)
 
-    // ---- stage blocks (grouped, resumable): delta+varint + block-max
-    (0 until conf.postingGroups).foreach { g =>
+    // ---- stage blocks (grouped, resumable, concurrent groups):
+    // delta+varint + block-max
+    runConcurrently((0 until conf.postingGroups).map(g => () => {
       cp.stage("blocks", g) {
         val grp = spark.read
           .parquet(s"${postingsPath(indexDir)}/group=$g").as[Posting]
@@ -219,7 +256,8 @@ object IndexBuilder {
         footerRowCounts(spark,
           Seq(s"${blocksPath(indexDir)}/group=$g")).sum
       }
-    }
+      ()
+    }))
 
     // ---- meta + metrics + lineage view. Per-partition posting counts come
     // from parquet FOOTERS (one row-count per written file = one per build

@@ -58,14 +58,23 @@ object Extract {
     true
   }
 
+  // per-thread reusable text buffers — the extractor runs once per XHTML
+  // doc in the build hot path; fresh StringBuilders per doc were a
+  // measurable share of its allocation rate
+  private val bufs: ThreadLocal[(java.lang.StringBuilder,
+      java.lang.StringBuilder)] =
+    ThreadLocal.withInitial(() =>
+      (new java.lang.StringBuilder(1 << 12), new java.lang.StringBuilder(256)))
+
   /** S5: extract text from XML/XHTML bytes; None ⇒ malformed, skip doc. */
   def extractXml(html: Array[Byte]): Option[String] = {
     var reader: XMLStreamReader = null
     try {
       reader = factory.get().createXMLStreamReader(
         new ByteArrayInputStream(html))
-      val content = new java.lang.StringBuilder()
-      val buf = new java.lang.StringBuilder()
+      val (content, buf) = bufs.get()
+      content.setLength(0)
+      buf.setLength(0)
       def flush(): Unit = {
         if (buf.length > 0) {
           if (!isXmlWhitespace(buf)) {

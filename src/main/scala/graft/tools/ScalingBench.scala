@@ -48,7 +48,13 @@ object ScalingBench {
     val spark = session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = Files.createTempDirectory(s"graft_scale_${cores}_").toString
-    val pages = Synth.pagesDf(spark, nDocs, partitions = 64)
+    // the north-rule input is a TABLE of pages (input_hint: Iceberg/
+    // parquet), so materialize the synthetic corpus first (unmeasured) and
+    // measure the real read-table → build-index job
+    val corpusDir = s"$dir/corpus"
+    Synth.pagesDf(spark, nDocs, partitions = 64)
+      .write.mode("overwrite").parquet(corpusDir)
+    val pages = spark.read.parquet(corpusDir)
 
     val t0 = System.nanoTime()
     // assumeUniqueUrls: the synthetic corpus is unique-by-url by
@@ -90,6 +96,8 @@ object ScalingBench {
       Seq("postings", "blocks", "docs", "terms", "stats").map(t =>
         fs.getContentSummary(
           new org.apache.hadoop.fs.Path(s"$dir/$t")).getLength).sum
+    // the 2 GB materialized corpus is per-run scratch — reclaim it
+    fs.delete(new org.apache.hadoop.fs.Path(corpusDir), true)
     spark.stop()
     Level(cores, buildMs, nDocs * 1000.0 / buildMs, metrics.postingCount,
       rawBytes / 1e6, indexBytes / 1e6, p50.toMap, p99.toMap)

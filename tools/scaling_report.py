@@ -7,7 +7,7 @@ N->4N efficiency from medians (and best-vs-best for reference).
 """
 import sys, json, glob, statistics
 
-files = sys.argv[1:] or sorted(glob.glob("/tmp/scale_l*_[efg].json"))
+files = sys.argv[1:] or sorted(glob.glob("/tmp/scale_l*_[hij].json"))
 by_cores = {}
 for f in files:
     d = json.load(open(f))
@@ -39,6 +39,11 @@ md.append("from the affinity mask, so a \"2-core\" level no longer gets free")
 md.append("32-thread GC — and reports the MEDIAN of 3 samples per level, all")
 md.append("samples listed. This is the faithful stand-in for the north rule's")
 md.append("N vs 4N executors: same job, same input, same per-node resources.")
+md.append("JVM flags per level: `-XX:+UseParallelGC -Xmx16g` (throughput GC")
+md.append("for an allocation-heavy batch job; identical at every level). The")
+md.append("corpus is materialized to parquet BEFORE the measured window, so")
+md.append("the measured job is the north-rule shape: read pages table →")
+md.append("extract → tokenize → ids → postings → blocks → stats/lineage.")
 md.append("")
 md.append("## Index build throughput (docs/sec, 1M docs)")
 md.append("")
