@@ -40,7 +40,17 @@ object Corpus {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/meta.json"))) {
-      IndexBuilder.build(spark, documentsAsPages(spark, sfDir), dir)
+      // size the partition/group counts to the corpus (parquet metadata
+      // count is free): a 5k-doc table does not need 32 range partitions
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      val parts = math.min(32L, math.max(4L, nDocs / 2000L)).toInt
+      // urls derive 1:1 from doc_id → unique by construction
+      IndexBuilder.build(spark, documentsAsPages(spark, sfDir), dir,
+        IndexBuilder.BuildConf(
+          partitions = parts,
+          postingGroups = math.min(4, parts),
+          queryBuckets = math.max(8, parts * 2),
+          assumeUniqueUrls = true))
     }
     dir
   }

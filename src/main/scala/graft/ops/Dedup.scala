@@ -97,14 +97,26 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .filter(size(filter(split(lower(col("text")), " "),
         t => t =!= "")) >= 3)
+    // adaptive plan: the md5-group machinery only pays off when exact-dup
+    // clusters exist. One cheap aggregate decides; a dup-free corpus (the
+    // common shape after upstream exact dedup) skips three joins and the
+    // intra-group expansion entirely. Same output either way.
     val keyed = d.select(col("doc_id"), md5(col("text")).as("k"))
-    val membership = keyed
-      .join(keyed.groupBy("k").agg(min(col("doc_id")).as("gid")), "k")
-      .select(col("doc_id"), col("gid"))
+    val grouped = keyed.groupBy("k")
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = d.join(
-      membership.filter(col("doc_id") === col("gid")).select("doc_id"),
-      "doc_id")
+    val hasDups = grouped.filter(col("n") > 1).limit(1).count() > 0
+    val membership =
+      if (!hasDups) null
+      else keyed
+        .join(grouped.select(col("k"), col("gid")), "k")
+        .select(col("doc_id"), col("gid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps =
+      if (!hasDups) d
+      else d.join(
+        membership.filter(col("doc_id") === col("gid")).select("doc_id"),
+        "doc_id")
 
     val sig = minhashSignaturesOf(reps, numHashes)
     val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
@@ -113,14 +125,14 @@ object Dedup {
     val withArr = sig.select(col("doc_id"), array(sigCols: _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // band hash = xxhash64 over the signature SLICE (hashes the array
+    // values directly — one compact expression instead of 8 casts+concat
+    // per band, which kept whole-stage codegen compilation small)
     val banded = withArr.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          xxhash64(concat_ws("_",
-            (0 until rows).map(r =>
-              element_at(col("sig"),
-                b * rows + r + 1).cast("string")): _*)).as("bh"))))
+          xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))))
         .as("bb"))
       .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
@@ -148,21 +160,28 @@ object Dedup {
 
     // expansion back to doc pairs IS the output size — unavoidable for a
     // pair-listing contract; the quadratic work no longer enters any join
-    val m = membership
-    val intra = m.as("x").join(m.as("y"),
-      col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(1.0).as("est_jaccard"))
-      .filter(lit(1.0) >= threshold)
-    val inter = repPairs
-      .join(m.select(col("gid").as("ga"), col("doc_id").as("id_a")), "ga")
-      .join(m.select(col("gid").as("gb"), col("doc_id").as("id_b")), "gb")
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("est_jaccard"))
+    val expanded =
+      if (!hasDups)
+        repPairs.select(col("ga").as("id_a"), col("gb").as("id_b"),
+          col("est_jaccard"))
+      else {
+        val m = membership
+        val intra = m.as("x").join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            lit(1.0).as("est_jaccard"))
+          .filter(lit(1.0) >= threshold)
+        val inter = repPairs
+          .join(m.select(col("gid").as("ga"), col("doc_id").as("id_a")), "ga")
+          .join(m.select(col("gid").as("gb"), col("doc_id").as("id_b")), "gb")
+          .select(
+            least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
+            col("est_jaccard"))
+        intra.unionByName(inter)
+      }
 
-    intra.unionByName(inter)
+    expanded
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3)
         .as("est_jaccard"))
       .orderBy("id_a", "id_b")
@@ -216,18 +235,27 @@ object Dedup {
     // same duplicate-cluster hardening as minhashPairs: identical texts
     // have identical simhashes and agree on all 4 chunks, so chunk-band
     // only one representative per md5(text) group and re-expand after
+    // (adaptive: skipped when the corpus has no exact-dup groups)
     val d = docs(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .filter(size(filter(split(lower(col("text")), " "),
         t => t =!= "")) >= 1) // simhash needs ≥1 token
     val keyed = d.select(col("doc_id"), md5(col("text")).as("k"))
-    val membership = keyed
-      .join(keyed.groupBy("k").agg(min(col("doc_id")).as("gid")), "k")
-      .select(col("doc_id"), col("gid"))
+    val grouped = keyed.groupBy("k")
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = d.join(
-      membership.filter(col("doc_id") === col("gid")).select("doc_id"),
-      "doc_id")
+    val hasDups = grouped.filter(col("n") > 1).limit(1).count() > 0
+    val membership =
+      if (!hasDups) null
+      else keyed
+        .join(grouped.select(col("k"), col("gid")), "k")
+        .select(col("doc_id"), col("gid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps =
+      if (!hasDups) d
+      else d.join(
+        membership.filter(col("doc_id") === col("gid")).select("doc_id"),
+        "doc_id")
 
     val sig = simhashOf(spark, reps)
     val chunked = sig.select(
@@ -250,20 +278,27 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
 
-    val m = membership
-    val intra = m.as("x").join(m.as("y"),
-      col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(0).as("hamming"))
-    val inter = repPairs
-      .join(m.select(col("gid").as("ga"), col("doc_id").as("id_a")), "ga")
-      .join(m.select(col("gid").as("gb"), col("doc_id").as("id_b")), "gb")
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("hamming"))
+    val expanded =
+      if (!hasDups)
+        repPairs.select(col("ga").as("id_a"), col("gb").as("id_b"),
+          col("hamming"))
+      else {
+        val m = membership
+        val intra = m.as("x").join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            lit(0).as("hamming"))
+        val inter = repPairs
+          .join(m.select(col("gid").as("ga"), col("doc_id").as("id_a")), "ga")
+          .join(m.select(col("gid").as("gb"), col("doc_id").as("id_b")), "gb")
+          .select(
+            least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
+            col("hamming"))
+        intra.unionByName(inter)
+      }
 
-    intra.unionByName(inter).orderBy("id_a", "id_b")
+    expanded.orderBy("id_a", "id_b")
   }
 
   /** Token-set Jaccard over a bounded doc subset (SQL-parity variant). */
