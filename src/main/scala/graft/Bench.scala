@@ -11,6 +11,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // 1 unmeasured warm-up + 1 timed run — the reference benchmark's own
+      // methodology (benchmark.rs:73-76). The warm-up absorbs one-time
+      // costs that are not the query's (JVM/codegen compilation, the
+      // cached index build) so timings compare run-to-run.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -165,7 +165,8 @@ object Incremental {
       .join(dfPlus, Seq("termId"), "left")
       .select($"termId", $"term",
         (coalesce($"df", lit(0L)) - coalesce($"minus", lit(0L)) +
-          coalesce($"plus", lit(0L))).as("df"))
+          coalesce($"plus", lit(0L))).as("df"),
+        octet_length($"term").as("tlen"))
       .filter($"df" > 0)
 
     // rewrite only groups containing affected rows

@@ -216,11 +216,19 @@ object IndexBuilder {
     // ---- stages terms ∥ stats: independent — run concurrently
     runConcurrently(Seq(
       () => {
-        // terms: df = postings per termId (A4; unique (term,doc))
+        // terms: df = postings per termId (A4; unique (term,doc)). The
+        // dictionary is written clustered by byte length (tlen) so the
+        // fuzzy-expansion prefilter `tlen ≤ maxLen` prunes whole parquet
+        // row groups / cache batches at huge dictionaries (SURVEY §7.4
+        // risk 7 — the reference scans its entire gtf per token).
         cp.stage("terms") {
           val df = postings.groupBy($"termId").agg(count(lit(1)).as("df"))
           termsBase.join(df, "termId")
-            .select($"termId", $"term", $"df")
+            .select($"termId", $"term", $"df",
+              octet_length($"term").as("tlen"))
+            .repartitionByRange(
+              math.max(1, conf.partitions / 4), $"tlen", $"term")
+            .sortWithinPartitions($"tlen", $"term")
             .write.mode("overwrite").parquet(termsPath(indexDir))
           footerRowCounts(spark, Seq(termsPath(indexDir))).sum
         }

@@ -101,8 +101,10 @@ object Search {
               math.max((l * 1.7).toInt, l + 2)
             }.max
             val fz = fuzzy // stable local for closure
+            // tlen is a stored, cluster-sorted column → parquet row-group
+            // and in-memory-batch stats prune the dictionary scan
             terms
-              .filter(octet_length($"term") <= maxLen)
+              .filter($"tlen" <= maxLen)
               .flatMap { t =>
                 var best = -1.0f
                 fz.foreach { case (tok, qlen) =>
