@@ -35,11 +35,18 @@ object Incremental {
       removed: Long,
       changed: Boolean)
 
+  /** `purgeVanished = false` turns the snapshot diff into an UPSERT-ONLY
+    * delta: urls absent from `pagesNew` are left untouched instead of
+    * purged (M3 skipped). This is the streaming-ingest contract — a
+    * micro-batch is a partial feed, not a full snapshot (M5's "visited
+    * set" is then the whole stream history, not one batch).
+    */
   def update(
       spark: SparkSession,
       pagesNew: DataFrame,
       indexDir: String,
-      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf())
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf(),
+      purgeVanished: Boolean = true)
       : UpdateReport = {
     import spark.implicits._
 
@@ -58,9 +65,13 @@ object Incremental {
     val toIndexUrls = joined
       .filter($"old_ts".isNull || $"new_ts" > $"old_ts")
       .select($"url", $"oldDocId")
-    // M3: purge urls no longer present
-    val removedDocs = docs.join(pageKeys, Seq("url"), "left_anti")
-      .select($"url", $"docId")
+    // M3: purge urls no longer present (full-snapshot mode only)
+    val removedDocs =
+      if (purgeVanished)
+        docs.join(pageKeys, Seq("url"), "left_anti")
+          .select($"url", $"docId")
+      else
+        docs.select($"url", $"docId").limit(0)
 
     val nToIndex = toIndexUrls.count()
     val nRemoved = removedDocs.count()
