@@ -106,7 +106,9 @@ object SparkEntry {
     "text_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
 
-    // ---- multimodal plumbing (decode STUBBED — no codecs in container) ----
+    // ---- multimodal plumbing: REAL ImageIO decode on the PNG stratum
+    // (doc_id % 10 == 0 carries a deterministic synthesized PNG), stub for
+    // opaque payloads; frame sampling is md5-digested and DuckDB-oracled --
     "mm_image_meta" -> ((s, dir) => Multimodal.imageMeta(s, dir)),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)))
 
@@ -137,6 +139,8 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exactSql + " ORDER BY doc_id"),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "ann_brute_cosine" -> Ann.bruteTopKSql(),
+    "text_langid" -> TextStats.langIdSql,
     "text_quality" -> TextStats.qualitySql,
-    "text_token_counts" -> TextStats.tokenCountsSql)
+    "text_token_counts" -> TextStats.tokenCountsSql,
+    "mm_frame_sample" -> Multimodal.frameSampleSql())
 }

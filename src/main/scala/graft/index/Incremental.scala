@@ -19,13 +19,21 @@ import Schema._
   *     (the reference keeps zero-df `gtf` entries, which NaN-poison its own
   *     TF-IDF scores — model.rs:169 divides by 0 — so the rebuild
   *     deliberately cleans them; SURVEY.md §2.6.5);
-  *   - postings/blocks groups are rewritten only when they contain affected
-  *     rows (group = termId mod G keeps rewrites bounded);
+  *   - postings/blocks/docs changes are committed as a MERGE-ON-READ delta
+  *     ([[DeltaLog]]): one small sequenced directory of added rows + encoded
+  *     blocks + tombstones. Base posting files are NOT rewritten — a 1-doc
+  *     update writes O(1 doc) bytes, not O(index). Deltas fold into the
+  *     base when [[IndexBuilder.BuildConf.deltaCompactEvery]] accumulate or
+  *     tombstones exceed `tombstoneCompactFraction` of the corpus
+  *     ([[compact]]);
+  *   - terms + stats are still rewritten whole: they are the O(vocabulary)
+  *     and O(1) metadata tables, ~1000× smaller than postings — the delta
+  *     machinery would cost more than it saves there;
   *   - "save only if changed" (S9): an empty delta writes nothing.
   *
-  * On Iceberg this maps to MERGE INTO / DELETE FROM with snapshot
-  * isolation; on plain parquet we rewrite affected group directories from
-  * (surviving ∪ delta) with the same range-sort layout.
+  * On Iceberg this maps to MERGE INTO / positional-delete files with
+  * snapshot isolation; on plain parquet the delta commit is made atomic by
+  * writing the tombstone table last (= the commit marker).
   */
 object Incremental {
 
@@ -33,7 +41,8 @@ object Incremental {
       added: Long,
       reindexed: Long,
       removed: Long,
-      changed: Boolean)
+      changed: Boolean,
+      compacted: Boolean = false)
 
   /** `purgeVanished = false` turns the snapshot diff into an UPSERT-ONLY
     * delta: urls absent from `pagesNew` are left untouched instead of
@@ -50,10 +59,9 @@ object Incremental {
       : UpdateReport = {
     import spark.implicits._
 
-    val docs = spark.read.parquet(IndexBuilder.docsPath(indexDir))
+    val docs = DeltaLog.docsView(spark, indexDir)
     val termsOld = spark.read.parquet(IndexBuilder.termsPath(indexDir))
-    val postingsOld = spark.read
-      .parquet(IndexBuilder.postingsPath(indexDir))
+    val postingsOld = DeltaLog.postingsView(spark, indexDir)
       .select($"termId", $"docId", $"tf", $"docLen")
 
     val pageKeys = pagesNew.select($"url", $"warc_ts".as("new_ts"))
@@ -112,10 +120,12 @@ object Incremental {
       .agg(sum($"tf").cast("long").as("docLen"))
 
     // docId assignment: keep old ids for re-indexed urls; rank new urls
-    // above the previous max (A3 holds: empty/malformed docs never surface
-    // in ftDelta, so they get no id and aren't indexed)
-    val maxDocId = docs.agg(max($"docId")).as[Long].collect()
-      .headOption.getOrElse(-1L)
+    // above the previous max over EVERY layer ever written (dead included
+    // — a live tombstone must never shadow a reused id). A3 holds:
+    // empty/malformed docs never surface in ftDelta → no id, not indexed.
+    val maxDocId = DeltaLog.docsAllLayers(spark, indexDir)
+      .agg(coalesce(max($"docId"), lit(-1L))).as[Long].collect()
+      .headOption.getOrElse(-1L) // empty initial index → ids start at 0
     val withOld = docLenDelta.join(
       toIndexUrls.filter($"oldDocId".isNotNull), Seq("url"), "inner")
       .select($"url", $"warc_ts", $"docLen", $"oldDocId".as("docId"))
@@ -133,7 +143,7 @@ object Incremental {
 
     // affected docIds: stale docs whose NEW extraction succeeded (their old
     // version is replaced/emptied) + removed urls. Malformed re-extractions
-    // keep the old version (not affected).
+    // keep the old version (not affected). These become the tombstones.
     val affectedOld = toIndexUrls.filter($"oldDocId".isNotNull)
       .join(extractedOkUrls, "url")
       .select($"oldDocId".as("docId"))
@@ -144,8 +154,8 @@ object Incremental {
     // termId assignment for brand-new terms
     val termDeltaNames = ftDelta.select($"term").distinct()
       .join(termsOld.select($"term"), Seq("term"), "left_anti")
-    val maxTermId = termsOld.agg(max($"termId")).as[Long].collect()
-      .headOption.getOrElse(-1L)
+    val maxTermId = termsOld.agg(coalesce(max($"termId"), lit(-1L)))
+      .as[Long].collect().headOption.getOrElse(-1L)
     val newTermIds = DenseId.assign(spark,
       termDeltaNames.select($"term".as("value")).as[String],
       conf.partitions, idName = "newTid", keyName = "term")
@@ -180,14 +190,6 @@ object Incremental {
         octet_length($"term").as("tlen"))
       .filter($"df" > 0)
 
-    // rewrite only groups containing affected rows
-    val g = conf.postingGroups
-    val affectedGroups = removedPostings
-      .select(pmod($"termId", lit(g)).cast("int").as("grp"))
-      .unionByName(postingsAdd
-        .select(pmod($"termId", lit(g)).cast("int").as("grp")))
-      .distinct().as[Int].collect().toSet
-
     val stats = spark.read.parquet(IndexBuilder.statsPath(indexDir))
       .as[Stats].head()
     val removedLens = docs.join(affectedOld, "docId")
@@ -200,12 +202,13 @@ object Incremental {
       stats.docCount - removedLens._2 + addedLens._2,
       stats.totalTokens - removedLens._1 + addedLens._1)
 
-    val bucketSize = math.max(1L,
-      IndexBuilder.readMeta(spark, indexDir)("bucketSize").toLong)
+    val meta = IndexBuilder.readMeta(spark, indexDir)
+    val bucketSize = math.max(1L, meta("bucketSize").toLong)
 
-    // Materialize EVERYTHING derived from the old table files before any
-    // write swaps them out — plans capture file listings at read() time,
-    // so a post-swap re-execution would hit deleted files.
+    // Materialize EVERYTHING derived from tables this update overwrites
+    // (terms, stats) or that the delta write re-reads, before any write —
+    // plans capture file listings at read() time, so a post-swap
+    // re-execution would hit deleted files.
     val nAdded = withNew.count()
     val nReindexed = withOld.count()
     val nAffected = affectedOld.count()
@@ -221,34 +224,94 @@ object Incremental {
     }
     docsDelta.count()
     termIdMap.count()
-    postingsAdd.count()
-    removedPostings.count()
-    affectedOld.count()
-    val docsNewMat = docs.join(affectedOld, Seq("docId"), "left_anti")
-      .join(removedDocs.select($"docId"), Seq("docId"), "left_anti")
-      .select($"docId", $"url", $"warc_ts", $"docLen")
-      .unionByName(docsDelta.select($"docId", $"url", $"warc_ts",
-        $"docLen"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    docsNewMat.count()
+    val nPostingsAdd = postingsAdd.count()
+    val nPostingsRemoved = removedPostings.count()
     val termsNewMat = termsNew.persist(StorageLevel.MEMORY_AND_DISK)
-    termsNewMat.count()
+    val termCountNew = termsNewMat.count()
 
-    // ---- writes (docs, terms, stats, affected posting/block groups) -----
-    writeTemp(spark, docsNewMat, IndexBuilder.docsPath(indexDir))
+    // ---- writes: terms + stats swapped whole; postings/blocks/docs as a
+    // sequenced merge-on-read delta (base files untouched) ---------------
     writeTemp(spark, termsNewMat, IndexBuilder.termsPath(indexDir))
     writeTemp(spark,
       Seq(statsNew).toDF(), IndexBuilder.statsPath(indexDir))
 
-    affectedGroups.toSeq.sorted.foreach { grp =>
-      val oldGrp = spark.read
-        .parquet(s"${IndexBuilder.postingsPath(indexDir)}/group=$grp")
-        .select($"termId", $"docId", $"tf", $"docLen")
-      val survivors = oldGrp.join(affectedOld, Seq("docId"), "left_anti")
-      val newGrp = survivors.unionByName(
-        postingsAdd.filter(pmod($"termId", lit(g)) === grp))
-        .repartitionByRange(
-          math.max(1, conf.partitions / g), $"termId", $"docId")
+    val seq = DeltaLog.nextSeq(spark, indexDir)
+    DeltaLog.writeDelta(spark, indexDir, seq,
+      postingsAdd = postingsAdd,
+      docsAdd = docsDelta.select($"docId", $"url", $"warc_ts", $"docLen"),
+      tombstones = affectedOld,
+      blockSize = meta("blockSize").toInt,
+      bucketSize = bucketSize,
+      parts = math.max(1, math.min(4,
+        conf.partitions / math.max(1, meta("postingGroups").toInt))))
+
+    // meta refresh: handle caches validate against meta.json, and the
+    // driver-dict / cache sizing heuristics read these counts
+    IndexBuilder.updateMeta(spark, indexDir, Map(
+      "docCount" -> statsNew.docCount.toString,
+      "totalTokens" -> statsNew.totalTokens.toString,
+      "termCount" -> termCountNew.toString,
+      "postingCount" ->
+        (meta("postingCount").toLong - nPostingsRemoved + nPostingsAdd)
+          .toString,
+      "deltaSeq" -> seq.toString))
+
+    Seq(ftDeltaRaw, docsDelta, affectedOld, termIdMap, postingsAdd,
+      removedPostings, termsNewMat).foreach(_.unpersist())
+    assigned.release()
+    newTermIds.release()
+    graft.query.IndexHandles.invalidate(indexDir) // cached tables are stale
+
+    // ---- compaction policy: fold deltas into the base when enough have
+    // accumulated or tombstones grew past a fraction of the corpus -------
+    val tombCount = DeltaLog.tombstonesDf(spark, indexDir)
+      .map(_.count()).getOrElse(0L)
+    val shouldCompact =
+      seq >= conf.deltaCompactEvery ||
+        tombCount > conf.tombstoneCompactFraction *
+          math.max(1L, statsNew.docCount)
+    if (shouldCompact) compact(spark, indexDir, conf)
+
+    UpdateReport(
+      added = nAdded,
+      reindexed = nReindexed,
+      removed = nRemoved,
+      changed = true,
+      compacted = shouldCompact)
+  }
+
+  /** Folds all deltas into the base tables: live postings are re-range-
+    * partitioned and rewritten per group (concurrently — groups are
+    * independent), blocks re-encoded, the docs table rewritten live-only,
+    * and the delta log cleared. Cost is one base rewrite amortized over
+    * `deltaCompactEvery` updates — the Iceberg-compaction analog.
+    */
+  def compact(
+      spark: SparkSession,
+      indexDir: String,
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf()): Unit = {
+    import spark.implicits._
+    if (DeltaLog.listSeqs(spark, indexDir).isEmpty) return
+    val meta = IndexBuilder.readMeta(spark, indexDir)
+    val g = meta("postingGroups").toInt
+    val bucketSize = math.max(1L, meta("bucketSize").toLong)
+    val blockSize = meta("blockSize").toInt
+    val perGroupParts = math.max(1, conf.partitions / g)
+
+    // materialize the live views BEFORE overwriting the base files they read
+    val live = DeltaLog.postingsView(spark, indexDir)
+      .select($"termId", $"docId", $"tf".cast("int").as("tf"),
+        $"docLen".cast("int").as("docLen"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    live.count()
+    val docsLive = DeltaLog.docsView(spark, indexDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    docsLive.count()
+
+    (0 until g).foreach { grp =>
+      val newGrp = live
+        .filter(pmod($"termId", lit(g)) === grp)
+        .repartitionByRange(perGroupParts, $"termId", $"docId")
         .sortWithinPartitions($"termId", $"docId")
         .persist(StorageLevel.MEMORY_AND_DISK)
       writeTemp(spark, newGrp,
@@ -256,23 +319,17 @@ object Incremental {
       val blocks = spark.read
         .parquet(s"${IndexBuilder.postingsPath(indexDir)}/group=$grp")
         .as[Posting]
-        .mapPartitions(it => Blocks.encode(it, conf.blockSize, bucketSize))
+        .mapPartitions(it => Blocks.encode(it, blockSize, bucketSize))
       writeTemp(spark, blocks.toDF(),
         s"${IndexBuilder.blocksPath(indexDir)}/group=$grp")
       newGrp.unpersist()
     }
-
-    Seq(ftDeltaRaw, docsDelta, affectedOld, termIdMap, postingsAdd,
-      removedPostings, docsNewMat, termsNewMat).foreach(_.unpersist())
-    assigned.release()
-    newTermIds.release()
-    graft.query.IndexHandles.invalidate(indexDir) // cached tables are stale
-
-    UpdateReport(
-      added = nAdded,
-      reindexed = nReindexed,
-      removed = nRemoved,
-      changed = true)
+    writeTemp(spark, docsLive, IndexBuilder.docsPath(indexDir))
+    DeltaLog.clear(spark, indexDir)
+    IndexBuilder.updateMeta(spark, indexDir, Map("deltaSeq" -> "0"))
+    live.unpersist()
+    docsLive.unpersist()
+    graft.query.IndexHandles.invalidate(indexDir)
   }
 
   /** Overwrite a table that the plan also READS: stage to a sibling temp

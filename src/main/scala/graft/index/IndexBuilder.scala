@@ -40,7 +40,12 @@ object IndexBuilder {
       // true elides the per-url last-write-wins dedup shuffle — only for
       // inputs that are unique-by-url by construction (e.g. an Iceberg
       // snapshot with url as the merge key, or the synthetic bench corpus)
-      assumeUniqueUrls: Boolean = false)
+      assumeUniqueUrls: Boolean = false,
+      // merge-on-read maintenance ([[DeltaLog]]): fold deltas into the base
+      // after this many sequenced updates, or sooner when tombstones exceed
+      // the fraction below of the live doc count
+      deltaCompactEvery: Int = 8,
+      tombstoneCompactFraction: Double = 0.2)
 
   /** Run independent build stages concurrently on one SparkSession —
     * Spark schedules their jobs side by side, so small stages share the
@@ -96,7 +101,7 @@ object IndexBuilder {
       }
 
     // ---- stage ft: extract → tokenize → per-doc term counts (no shuffle)
-    cp.stage("ft") {
+    val ftRows = cp.stage("ft") {
       val pagesDs = pagesIn
         .select("url", "warc_ts", "html", "text")
         .as[(String, java.sql.Timestamp, Array[Byte], String)]
@@ -140,6 +145,14 @@ object IndexBuilder {
         Seq(s"${ftPath(indexDir)}/m=true", s"${ftPath(indexDir)}/m=false"))
         .sum
     }
+    // empty corpus (or every doc malformed/stop-only): the partitionBy("m")
+    // write above created NO m=true/m=false directories, so the per-side
+    // reads below would throw path-not-found. Short-circuit to a valid,
+    // servable empty index instead (StreamIngest.maintainIndex documents
+    // building the initial index over a possibly-empty snapshot).
+    if (ftRows == 0L)
+      return writeEmptyIndex(spark, indexDir, conf, cp, t0)
+
     // term rows feed postings/terms; marker rows ARE the doc metadata —
     // the pages input is never scanned again after stage ft
     val ft = spark.read.parquet(s"${ftPath(indexDir)}/m=false")
@@ -293,11 +306,51 @@ object IndexBuilder {
       postingsPerPartitionAvg = perPartAvg,
       postingsPerPartitionMax = perPartMax,
       skewRatio = if (dfStats._2 == 0.0) 0.0 else dfStats._1 / dfStats._2)
+    // a full rebuild over a previously-updated directory supersedes any
+    // merge-on-read deltas — they describe the OLD base
+    DeltaLog.clear(spark, indexDir)
     writeMeta(spark, indexDir, conf, bucketSize, metrics)
     // a rebuild over the same directory must not keep serving stale cached
     // terms/docs handles (wallMs in meta.json makes every build distinct,
     // so the meta-validated handle cache also self-heals — this is the
     // eager path)
+    graft.query.IndexHandles.invalidate(indexDir)
+    metrics
+  }
+
+  /** Writes a valid zero-doc index (all tables present with their schemas,
+    * stats = (0, 0), lineage markers for every stage) so every read path —
+    * handles, search, incremental update, streaming ingest — works on an
+    * empty initial snapshot.
+    */
+  private def writeEmptyIndex(
+      spark: SparkSession,
+      indexDir: String,
+      conf: BuildConf,
+      cp: Checkpoint,
+      t0: Long): BuildMetrics = {
+    import spark.implicits._
+    Seq.empty[DocMeta].toDS.coalesce(1)
+      .write.mode("overwrite").parquet(docsPath(indexDir))
+    Seq.empty[(Long, String, Long, Int)]
+      .toDF("termId", "term", "df", "tlen").coalesce(1)
+      .write.mode("overwrite").parquet(termsPath(indexDir))
+    Seq(Stats(0L, 0L)).toDS.coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(indexDir))
+    (0 until conf.postingGroups).foreach { g =>
+      Seq.empty[Posting].toDS.coalesce(1).write.mode("overwrite")
+        .parquet(s"${postingsPath(indexDir)}/group=$g")
+      Seq.empty[TermBlock].toDS.coalesce(1).write.mode("overwrite")
+        .parquet(s"${blocksPath(indexDir)}/group=$g")
+      cp.stage("postings", g)(0L)
+      cp.stage("blocks", g)(0L)
+    }
+    Seq("docs", "terms_base", "terms", "stats").foreach(s => cp.stage(s)(0L))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val metrics = BuildMetrics(conf.buildId, 0L, 0L, 0L, 0L, 0.0, wallMs,
+      0.0, 0L, 0.0)
+    DeltaLog.clear(spark, indexDir)
+    writeMeta(spark, indexDir, conf, bucketSize = 1L, metrics)
     graft.query.IndexHandles.invalidate(indexDir)
     metrics
   }
@@ -334,15 +387,37 @@ object IndexBuilder {
     val p = new Path(s"$indexDir/meta.json")
     val out = fs.create(p, true)
     out.write(
-      (s"""{"buildId":"${conf.buildId}","blockSize":${conf.blockSize},""" +
+      (s"""{"format":3,"buildId":"${conf.buildId}",""" +
+        s""""blockSize":${conf.blockSize},""" +
         s""""bucketSize":$bucketSize,"queryBuckets":${conf.queryBuckets},""" +
-        s""""postingGroups":${conf.postingGroups},""" +
+        s""""postingGroups":${conf.postingGroups},"deltaSeq":0,""" +
         s""""docCount":${m.docCount},"totalTokens":${m.totalTokens},""" +
         s""""termCount":${m.termCount},"postingCount":${m.postingCount},""" +
         s""""docsPerSec":${m.docsPerSec},"wallMs":${m.wallMs},""" +
         s""""postingsPerPartitionAvg":${m.postingsPerPartitionAvg},""" +
         s""""postingsPerPartitionMax":${m.postingsPerPartitionMax},""" +
         s""""skewRatio":${m.skewRatio}}""").getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Read-modify-write of meta.json fields (numbers written raw, everything
+    * else quoted). Incremental updates keep the counts the handle cache and
+    * sizing heuristics read current without recomputing build metrics.
+    */
+  def updateMeta(
+      spark: SparkSession,
+      indexDir: String,
+      updates: Map[String, String]): Unit = {
+    val merged = readMeta(spark, indexDir) ++ updates
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val numeric = "^-?[0-9.eE]+$".r
+    val body = merged.toSeq.sortBy(_._1).map { case (k, v) =>
+      val vv = if (numeric.findFirstIn(v).isDefined) v else "\"" + v + "\""
+      s""""$k":$vv"""
+    }.mkString("{", ",", "}")
+    val out = fs.create(new Path(s"$indexDir/meta.json"), true)
+    out.write(body.getBytes(StandardCharsets.UTF_8))
     out.close()
   }
 

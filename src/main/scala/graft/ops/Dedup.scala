@@ -13,6 +13,29 @@ object Dedup {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** The LSH pipelines persist corpus-sized intermediates (groups,
+    * membership, signatures). Those must NOT outlive the call — persist the
+    * (small) final pairs frame instead, materialize it eagerly, then drop
+    * the intermediates. The one retained pairs frame per op is swapped out
+    * (unpersisted) on the next call, so repeated invocations (BenchOne runs
+    * these three times per session) hold at most one small cached result
+    * each instead of leaking corpus-sized blocks for the session's life.
+    */
+  private val lastResult =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def finishCached(
+      op: String,
+      result: DataFrame,
+      intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // eager: compute while the intermediates are still cached
+    intermediates.filter(_ != null).foreach(_.unpersist(false))
+    lastResult.put(op, out).foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact dedup: hash-groupBy on content. (doc_id = representative min,
     * n = group size, text_md5 = content hash.) Scale: one shuffle on the
     * 128-bit digest; skew-free (uniform hash keys).
@@ -181,10 +204,12 @@ object Dedup {
         intra.unionByName(inter)
       }
 
-    expanded
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3)
-        .as("est_jaccard"))
-      .orderBy("id_a", "id_b")
+    finishCached("minhash",
+      expanded
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3)
+          .as("est_jaccard"))
+        .orderBy("id_a", "id_b"),
+      Seq(grouped, membership, withArr))
   }
 
   /** 64-bit SimHash per doc: sign of tf-weighted bit sums of token hashes.
@@ -298,7 +323,8 @@ object Dedup {
         intra.unionByName(inter)
       }
 
-    expanded.orderBy("id_a", "id_b")
+    finishCached("simhash", expanded.orderBy("id_a", "id_b"),
+      Seq(grouped, membership))
   }
 
   /** Token-set Jaccard over a bounded doc subset (SQL-parity variant). */

@@ -98,49 +98,118 @@ object Multimodal {
       math.rint(sum.toDouble / n * 1000) / 1000, h)
   }
 
-  /** Treat the documents' text bytes as a fake binary payload column and
-    * run the batch decode pipeline over it: binary column in, typed
-    * metadata out, one partition-sized batch at a time.
+  /** Deterministic tiny PNG for a doc: dimensions and pixel pattern derive
+    * only from docId (splitmix-style mixing), encoded with the JDK's own
+    * ImageIO PNG writer — so the REAL decode path has genuine image bytes
+    * to chew on with zero external data. Returns (bytes, width, height).
+    */
+  def synthPng(docId: Long): (Array[Byte], Int, Int) = {
+    val w = 8 + (docId % 9).toInt
+    val h = 8 + (docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = docId * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L +
+          y * 0x94d049bb133111ebL
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        img.setRGB(x, y, ((z >>> 33) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    (bos.toByteArray, w, h)
+  }
+
+  /** Binary payload for a document row: every 10th doc carries a REAL
+    * (deterministic, synthesized in-executor) PNG so the driver-shaped
+    * pipeline exercises the genuine ImageIO decode path; the rest carry
+    * the text bytes, which fall through to the stub (= the non-image-
+    * payload branch a production pipeline also needs).
+    */
+  def payloadFor(docId: Long, text: String): Array[Byte] =
+    if (docId % 10 == 0) synthPng(docId)._1
+    else {
+      val t = if (text == null) "" else text
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** Batch decode pipeline over a binary payload column: binary in, typed
+    * metadata out, one partition-sized batch at a time. Payloads mix real
+    * PNGs (docId % 10 == 0 — decoded by ImageIO for real) and opaque text
+    * bytes (stub branch), see [[payloadFor]].
     */
   def imageMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload")) // stand-in binary column
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { batch =>
         // real codecs want reuse of decoder state per batch — this is the
         // seam where a JNI/codec context would be opened once per partition
-        batch.map { case (id, bytes) => decodeImage(id, bytes) }
+        batch.map { case (id, text) =>
+          decodeImage(id, payloadFor(id, text))
+        }
       }
       .toDF()
       .orderBy("doc_id")
   }
 
   /** Frame-sampling shape for video-like payloads: split the payload into
-    * fixed-size "frames", sample every `stride`-th, emit (doc_id, frameIdx,
-    * frameHash) — the partitioning/explode pattern a real frame sampler
-    * uses.
+    * fixed-size "frames", sample every `stride`-th, emit per-frame rows
+    * with a content digest — the explode/sequence pattern a real frame
+    * sampler uses, all in codegen'd built-ins (sequence → filter →
+    * transform → explode; md5 of the frame slice).
+    *
+    * Frames are CHARACTER-addressed (`substr`) so the exact same rows are
+    * expressible in ANSI SQL (DuckDB oracle) regardless of text encoding —
+    * both engines hash the frame's UTF-8 bytes via md5.
     */
   def frameSample(
       spark: SparkSession,
       sfDir: String,
-      frameBytes: Int = 64,
+      frameChars: Int = 64,
       stride: Int = 4): DataFrame = {
-    import spark.implicits._
+    val nFrames =
+      ceil(length(col("text")).cast("double") / frameChars).cast("int")
+    val frame = (i: org.apache.spark.sql.Column) =>
+      col("text").substr(i * frameChars + 1, lit(frameChars))
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val frames = bytes.grouped(frameBytes).zipWithIndex
-        frames.collect {
-          case (frame, idx) if idx % stride == 0 =>
-            var h = 1469598103934665603L
-            frame.foreach(b => h = (h ^ (b & 0xff)) * 1099511628211L)
-            (id, idx, h)
-        }
-      }
-      .toDF("doc_id", "frame_idx", "frame_hash")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(transform(
+          filter(sequence(lit(0), nFrames - 1), i => i % stride === 0),
+          i => struct(
+            i.cast("long").as("frame_idx"),
+            md5(frame(i).cast("binary")).as("frame_md5"),
+            length(frame(i)).cast("long").as("frame_chars")))).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame_md5").as("frame_md5"),
+        col("f.frame_chars").as("frame_chars"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** DuckDB twin of [[frameSample]] (same rows, same column names; the
+    * series comes from the `range` LIST function + unnest — the
+    * generate_series TABLE function can't take lateral column args).
+    */
+  def frameSampleSql(frameChars: Int = 64, stride: Int = 4): String =
+    s"""SELECT doc_id, frame_idx,
+       |  md5(substring(text, CAST(frame_idx * $frameChars + 1 AS BIGINT),
+       |      $frameChars)) AS frame_md5,
+       |  length(substring(text, CAST(frame_idx * $frameChars + 1 AS
+       |      BIGINT), $frameChars))::BIGINT AS frame_chars
+       |FROM (
+       |  SELECT doc_id, text,
+       |    unnest(list_filter(
+       |      range(0, CAST(ceil(length(text) / $frameChars.0) AS BIGINT)),
+       |      x -> x % $stride = 0)) AS frame_idx
+       |  FROM documents WHERE length(text) > 0)
+       |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -48,17 +48,78 @@ object TextStats {
     if (score == 0.0) ("und", 0.0) else (lang, score)
   }
 
+  /** SQL-parity language ID — the driver-registered entry. Emits the raw
+    * evidence (per-language marker-token hits, Han/alpha char counts) as
+    * integer columns plus `pred_lang` derived from them by a CASE both
+    * engines evaluate identically:
+    *   zh  iff han·10 > (han+alpha)·3   (CJK share > 0.3, integer-exact)
+    *   else argmax of marker hits, alphabetical tiebreak, 'und' on zeros.
+    * All counts are codegen'd built-ins (split/filter/regexp) — one narrow
+    * map over the corpus, no shuffle. The richer codepoint-level heuristic
+    * stays available as [[langIdOf]] (full Unicode letter classes are not
+    * ANSI-SQL-expressible, which is exactly what kept this entry rows-only).
+    */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    def hits(lang: String): org.apache.spark.sql.Column =
+      size(filter(toks, t => t.isin(markers(lang).toSeq: _*))).cast("long")
+    val han = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\u4e00-\u9fff]", ""))).cast("long")
+    val alpha =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
     docs(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        val (lang, score) = langIdOf(t)
-        (id, lang, math.rint(score * 1000) / 1000)
-      }
-      .toDF("doc_id", "pred_lang", "score")
+      .select(col("doc_id"),
+        hits("de").as("de_hits"), hits("en").as("en_hits"),
+        hits("es").as("es_hits"), hits("fr").as("fr_hits"),
+        han.as("han_chars"), alpha.as("alpha_chars"))
+      .withColumn("pred_lang",
+        when(col("han_chars") * 10 >
+            (col("han_chars") + col("alpha_chars")) * 3, "zh")
+          .when(greatest(col("de_hits"), col("en_hits"), col("es_hits"),
+            col("fr_hits")) === 0, "und")
+          .when(col("de_hits") >= col("en_hits") &&
+            col("de_hits") >= col("es_hits") &&
+            col("de_hits") >= col("fr_hits"), "de")
+          .when(col("en_hits") >= col("es_hits") &&
+            col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
       .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[langId]] (same rows, names, and CASE logic). */
+  def langIdSql: String = {
+    def lst(lang: String): String =
+      markers(lang).toSeq.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+    def hits(lang: String): String =
+      s"len(list_filter(string_split(lower(text), ' '), " +
+        s"x -> list_contains(${lst(lang)}, x)))::BIGINT"
+    s"""SELECT doc_id,
+       |  ${hits("de")} AS de_hits,
+       |  ${hits("en")} AS en_hits,
+       |  ${hits("es")} AS es_hits,
+       |  ${hits("fr")} AS fr_hits,
+       |  (length(text) - length(regexp_replace(text,
+       |    '[\\x{4e00}-\\x{9fff}]', '', 'g')))::BIGINT AS han_chars,
+       |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT
+       |    AS alpha_chars,
+       |  CASE
+       |    WHEN (length(text) - length(regexp_replace(text,
+       |        '[\\x{4e00}-\\x{9fff}]', '', 'g'))) * 10 >
+       |      ((length(text) - length(regexp_replace(text,
+       |        '[\\x{4e00}-\\x{9fff}]', '', 'g'))) +
+       |       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) * 3
+       |      THEN 'zh'
+       |    WHEN greatest(${hits("de")}, ${hits("en")}, ${hits("es")},
+       |        ${hits("fr")}) = 0 THEN 'und'
+       |    WHEN ${hits("de")} >= ${hits("en")} AND ${hits("de")} >=
+       |      ${hits("es")} AND ${hits("de")} >= ${hits("fr")} THEN 'de'
+       |    WHEN ${hits("en")} >= ${hits("es")} AND ${hits("en")} >=
+       |      ${hits("fr")} THEN 'en'
+       |    WHEN ${hits("es")} >= ${hits("fr")} THEN 'es'
+       |    ELSE 'fr'
+       |  END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   // ---- quality scoring ----------------------------------------------------

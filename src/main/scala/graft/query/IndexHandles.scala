@@ -3,16 +3,21 @@ package graft.query
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.index.IndexBuilder
+import graft.index.{DeltaLog, IndexBuilder}
 import graft.index.Schema.Stats
 
 /** Hot query-side state of one index: meta + stats are collected once;
   * the dictionary and docs tables are persisted in memory (they're the
   * per-query serving working set — on a cluster these are the natural
   * executor-cache residents, while postings/blocks stay on storage and are
-  * read group-pruned per query).
+  * read group-pruned per query). Merge-on-read deltas ([[DeltaLog]]) are
+  * snapshotted at handle construction: the delta frames, and the tombstone
+  * map the WAND decode filter needs, are loaded once per index version
+  * (meta.deltaSeq changes per update, so the meta-validated cache swaps
+  * handles on every commit).
   */
 final class IndexHandles private (
     val spark: SparkSession,
@@ -20,6 +25,21 @@ final class IndexHandles private (
 
   val meta: Map[String, String] = IndexBuilder.readMeta(spark, indexDir)
   val postingGroups: Int = meta("postingGroups").toInt
+  val deltaSeqs: Seq[Int] = DeltaLog.listSeqs(spark, indexDir)
+
+  /** docId → latest tombstone seq; a row from layer r is live iff
+    * r >= tombSeq(docId). Compaction-bounded small; empty on fresh builds.
+    */
+  val tombMap: Map[Long, Int] =
+    if (deltaSeqs.isEmpty) Map.empty
+    else DeltaLog.tombstoneMap(spark, indexDir)
+
+  private val tombDf: Option[DataFrame] =
+    if (tombMap.isEmpty) None
+    else {
+      import spark.implicits._
+      Some(tombMap.toSeq.toDF("docId", "tombSeq"))
+    }
 
   val stats: Stats = {
     import spark.implicits._
@@ -52,34 +72,90 @@ final class IndexHandles private (
     } else None
   }
 
-  // the (docId, url) projection is the per-query serving working set, but
-  // it grows with the corpus — above ~50M docs (≈ a few GB) it must not
-  // compete with execution memory, so pin it to disk-backed storage only
-  val docs: DataFrame = spark.read
-    .parquet(IndexBuilder.docsPath(indexDir))
-    .select("docId", "url")
-    .coalesce(parts(meta("docCount").toLong))
-    .persist(
-      if (meta("docCount").toLong <= 50000000L) StorageLevel.MEMORY_AND_DISK
-      else StorageLevel.DISK_ONLY)
+  /** Live (docId, url) liveness-filtered across base + deltas. The
+    * projection is the per-query serving working set, but it grows with the
+    * corpus — above ~50M docs (≈ a few GB) it must not compete with
+    * execution memory, so pin it to disk-backed storage only.
+    */
+  val docs: DataFrame = {
+    val base = spark.read
+      .parquet(IndexBuilder.docsPath(indexDir))
+    val live =
+      if (deltaSeqs.isEmpty) base.select("docId", "url")
+      else DeltaLog.docsView(spark, indexDir).select("docId", "url")
+    live
+      .coalesce(parts(meta("docCount").toLong))
+      .persist(
+        if (meta("docCount").toLong <= 50000000L)
+          StorageLevel.MEMORY_AND_DISK
+        else StorageLevel.DISK_ONLY)
+  }
 
   // reader frames built ONCE per handle: re-creating them per query would
   // redo file listing + footer/schema reads (hundreds of ms of per-query
-  // latency); the lazy plans + their FileIndex are reused by every filter
-  private val blocksDf: DataFrame =
-    spark.read.parquet(IndexBuilder.blocksPath(indexDir))
+  // latency); the lazy plans + their FileIndex are reused by every filter.
+  // The BASE blocks frame is additionally persisted when the index is small
+  // enough (conf graft.maxCachedBlockPostings, default 200M postings ≈ a
+  // few hundred MB encoded): per-query latency is then bounded by compute,
+  // not re-scanning parquet. On a cluster this is the executor block cache;
+  // at 10^12 docs the gate keeps blocks on storage where they belong.
+  private val cacheBlocks: Boolean = {
+    val maxPostings = spark.conf
+      .getOption("graft.maxCachedBlockPostings").map(_.toLong)
+      .getOrElse(200000000L)
+    meta("postingCount").toLong <= maxPostings
+  }
+  private val blocksDf: DataFrame = {
+    val df = spark.read.parquet(IndexBuilder.blocksPath(indexDir))
+    if (cacheBlocks) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+  }
   private val postingsDf: DataFrame =
     spark.read.parquet(IndexBuilder.postingsPath(indexDir))
+  private val deltaBlocksDf: Option[DataFrame] =
+    DeltaLog.deltaBlocks(spark, indexDir)
+      .map(df => if (cacheBlocks)
+        df.persist(StorageLevel.MEMORY_AND_DISK) else df)
 
-  /** Blocks of the candidate terms, group-pruned at the parquet layer. */
-  def blocksFor(termIds: Seq[Long]): DataFrame =
-    pruned(blocksDf, termIds)
+  /** Candidate blocks across base + delta layers, with a `_seq` layer
+    * column (base = 0). Base is group- and termId-pruned at the parquet
+    * layer; delta layers (small) are termId-pruned. Tombstones are NOT
+    * applied here — the WAND decode filter handles per-row liveness using
+    * [[tombMap]] (block-max bounds stay safe upper bounds under deletes).
+    */
+  def blocksFor(termIds: Seq[Long]): DataFrame = {
+    val base = pruned(blocksDf, termIds)
+      .drop("group").withColumn("_seq", lit(0))
+    deltaBlocksDf match {
+      case None => base
+      case Some(d) =>
+        val delta = d.filter(col("termId").isin(termIds: _*))
+          .withColumn("_seq", col("seq").cast("int")).drop("seq")
+        base.unionByName(delta)
+    }
+  }
 
-  def postingsFor(termIds: Seq[Long]): DataFrame =
-    pruned(postingsDf, termIds)
+  /** Live candidate postings (liveness applied): the naive-scorer input. */
+  def postingsFor(termIds: Seq[Long]): DataFrame = {
+    val cols = Seq("termId", "docId", "tf", "docLen")
+    val base = pruned(postingsDf, termIds)
+    if (deltaSeqs.isEmpty) return base.select(cols.map(col): _*)
+    val deltaAll = spark.read.parquet(
+      deltaSeqs.map(s => s"${DeltaLog.seqPath(indexDir, s)}/postings"): _*)
+    val delta = deltaAll.filter(col("termId").isin(termIds: _*))
+    val layered = base.withColumn("_seq", lit(0))
+      .select((cols :+ "_seq").map(col): _*)
+      .unionByName(delta.withColumn("_seq", col("seq").cast("int"))
+        .select((cols :+ "_seq").map(col): _*))
+    tombDf match {
+      case None => layered.drop("_seq")
+      case Some(t) =>
+        layered.join(broadcast(t), Seq("docId"), "left")
+          .filter(col("_seq") >= coalesce(col("tombSeq"), lit(0)))
+          .select(cols.map(col): _*)
+    }
+  }
 
   private def pruned(base: DataFrame, termIds: Seq[Long]): DataFrame = {
-    import org.apache.spark.sql.functions._
     val groups = termIds.map(_ % postingGroups).distinct
     base
       .filter(col("group").isin(groups: _*))
@@ -89,30 +165,60 @@ final class IndexHandles private (
   def release(): Unit = {
     terms.unpersist()
     docs.unpersist()
+    if (cacheBlocks) {
+      blocksDf.unpersist()
+      deltaBlocksDf.foreach(_.unpersist())
+    }
   }
 }
 
 object IndexHandles {
   private val cache = TrieMap.empty[String, IndexHandles]
+  private val locks = TrieMap.empty[String, Object]
 
-  /** Cached handle, validated against the CURRENT meta.json: any rebuild
-    * (wallMs makes every build's meta distinct) or external rewrite of the
-    * index directory drops the stale cached tables. Cost: one small-file
-    * read per call.
+  // deferred unpersist of displaced handles: an in-flight query may still
+  // hold the old handle's cached tables; releasing after a grace period
+  // avoids recompute-latency spikes without keeping blocks forever
+  private lazy val reaper =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-handle-reaper")
+        t.setDaemon(true)
+        t
+      })
+
+  private def deferRelease(h: IndexHandles): Unit =
+    reaper.schedule(new Runnable {
+      def run(): Unit =
+        try h.release()
+        catch { case _: Throwable => () } // session may already be stopped
+    }, 60, java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Cached handle, validated against the CURRENT meta.json: any rebuild or
+    * delta commit (deltaSeq/wallMs make every index version's meta
+    * distinct) drops the stale cached tables. Swaps happen under a
+    * per-indexDir lock so concurrent callers (Serve + streaming
+    * foreachBatch) can't double-create handles; the displaced handle is
+    * released on a delay (queries already running against it stay correct
+    * either way — unpersisted tables recompute). Cost per call: one
+    * small-file read.
     */
   def apply(spark: SparkSession, indexDir: String): IndexHandles = {
-    val cur = IndexBuilder.readMeta(spark, indexDir)
-    cache.get(indexDir) match {
-      case Some(h) if h.meta == cur => h
-      case stale =>
-        stale.foreach(_.release())
-        val h = new IndexHandles(spark, indexDir)
-        cache.put(indexDir, h)
-        h
+    val lock = locks.getOrElseUpdate(indexDir, new Object)
+    lock.synchronized {
+      val cur = IndexBuilder.readMeta(spark, indexDir)
+      cache.get(indexDir) match {
+        case Some(h) if h.meta == cur => h
+        case stale =>
+          val h = new IndexHandles(spark, indexDir)
+          cache.put(indexDir, h)
+          stale.foreach(deferRelease)
+          h
+      }
     }
   }
 
   /** Drop cached state (call after incremental updates rewrite tables). */
   def invalidate(indexDir: String): Unit =
-    cache.remove(indexDir).foreach(_.release())
+    cache.remove(indexDir).foreach(deferRelease)
 }

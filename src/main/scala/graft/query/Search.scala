@@ -87,12 +87,23 @@ object Search {
         out.result()
 
       case None =>
+        // tlen is a stored, cluster-sorted column ((tlen, term) range
+        // layout) → parquet row-group and in-memory-batch stats prune both
+        // dictionary scans. Indexes built before the column existed fall
+        // back to computing it on the fly (no pruning, same semantics).
+        val tlenCol =
+          if (h.terms.columns.contains("tlen")) $"tlen"
+          else octet_length($"term")
         val terms = h.terms.as[TermEntry]
         val exactPart =
           if (exactOnly.isEmpty)
             spark.emptyDataset[(Long, String, Long, Float)]
           else terms
-            .filter($"term".isin(exactOnly.map(_._1): _*))
+            // exact lookups hit only rows whose byte length equals a query
+            // token's — the tlen equality set reuses the (tlen, term)
+            // clustering for free row-group pruning on >1M-term dictionaries
+            .filter(tlenCol.isin(exactOnly.map(_._2).distinct: _*) &&
+              $"term".isin(exactOnly.map(_._1): _*))
             .map(t => (t.termId, t.term, t.df, 1.0f))
         val fuzzyPart =
           if (fuzzy.isEmpty) spark.emptyDataset[(Long, String, Long, Float)]
@@ -101,10 +112,8 @@ object Search {
               math.max((l * 1.7).toInt, l + 2)
             }.max
             val fz = fuzzy // stable local for closure
-            // tlen is a stored, cluster-sorted column → parquet row-group
-            // and in-memory-batch stats prune the dictionary scan
             terms
-              .filter($"tlen" <= maxLen)
+              .filter(tlenCol <= maxLen)
               .flatMap { t =>
                 var best = -1.0f
                 fz.foreach { case (tok, qlen) =>
@@ -188,6 +197,12 @@ object Search {
     * deterministic tiebreak (score desc, docId asc), urls attached.
     * `useWand = true` routes through the block-max WAND operator instead of
     * the naive join-aggregate — results are identical (property-tested).
+    *
+    * `padToK = true` reproduces the reference CLI's divergent top-20
+    * semantics instead (`main.rs:290` takes k INCLUDING zero-scored docs
+    * when fewer than k match). The reference pads in HashMap iteration
+    * order — nondeterministic — so the rebuild pads deterministically by
+    * docId asc (COVERAGE.md divergence #3). Default off = served semantics.
     */
   def searchTop(
       spark: SparkSession,
@@ -196,7 +211,8 @@ object Search {
       method: Method,
       k: Int,
       useWand: Boolean = true,
-      params: Scoring.Params = Scoring.Params()): DataFrame = {
+      params: Scoring.Params = Scoring.Params(),
+      padToK: Boolean = false): DataFrame = {
     import spark.implicits._
     val h = IndexHandles(spark, indexDir)
     val qp = plan(spark, h, query, method, params)
@@ -207,12 +223,24 @@ object Search {
     // lookup on the cached docs table (isin enables in-memory batch
     // pruning) — a broadcast join here would stream the ENTIRE docs table
     // through the probe side per query
-    val top = scored
+    var top = scored
       .filter($"score" > 0.0f)
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
       .as[(Long, Float)]
       .collect()
+    if (padToK && top.length < k) {
+      val have = top.map(_._1).toSet
+      val pad = h.docs
+        .filter(!$"docId".isin(have.toSeq: _*))
+        .orderBy($"docId".asc)
+        .limit(k - top.length)
+        .select($"docId")
+        .as[Long]
+        .collect()
+        .map(id => (id, 0.0f))
+      top = top ++ pad
+    }
     if (top.isEmpty)
       return spark.emptyDataset[(String, Float, Long)]
         .toDF("url", "score", "docId")

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{Blocks, IndexBuilder}
+import graft.index.Blocks
 import graft.index.Schema.TermBlock
 import graft.score.Scoring
 
@@ -25,9 +25,20 @@ import graft.score.Scoring
   *     results are bit-identical to the naive join-aggregate scorer (and
   *     the oracle) — pruning is bound-safe by construction.
   *
-  * The per-bucket partial top-k (≤ k rows per bucket) is then reduced to
-  * the global top-k. The bucket heap starts empty (θ warms up per bucket),
-  * which costs pruning, not correctness.
+  * Merge-on-read deltas: blocks arrive LAYERED (`_seq` = 0 for base, the
+  * delta seq otherwise) and a docId may appear in several layers, of which
+  * at most one is live (`seq >= tombMap(docId)` — [[graft.index.DeltaLog]]).
+  * Cursors are built per (termId, layer) — ranges are disjoint within a
+  * layer — and only live layers contribute to candidate scores. Dead layers
+  * only ever INFLATE upper bounds, so pruning stays safe.
+  *
+  * Latency shape: when the candidate posting volume (Σ df) is small enough
+  * — `graft.maxLocalWandPostings`, default 4M — the candidate blocks are
+  * collected and WAND runs driver-local over all buckets at once: ONE Spark
+  * job per query (the block scan), no shuffle. Head-term queries above the
+  * gate take the distributed path: one repartition-by-bucket sized to
+  * min(buckets, parallelism) and per-bucket WAND. The per-bucket partial
+  * top-k (≤ k rows per bucket) then reduces to the global top-k.
   */
 object Wand {
 
@@ -55,13 +66,15 @@ object Wand {
 
   private final class Cursor(
       val termId: Long,
+      val seq: Int, // layer: 0 = base, else the delta seq
       val weight: Float,
       val idf: Float,
       blocksIn: Array[TermBlock],
       avgdl: Float,
       method: Search.Method,
       p: Scoring.Params) {
-    // per-term blocks ordered by minDocId (ranges are disjoint)
+    // per-(term, layer) blocks ordered by minDocId (ranges are disjoint
+    // within one layer)
     private val blocks = blocksIn.sortBy(_.minDocId)
     val termUb: Float = {
       var m = 0.0f
@@ -147,22 +160,28 @@ object Wand {
       }
     }
 
-  /** Run WAND over one bucket's blocks. Emits ≤ k (docId, score) rows. */
+  /** Run WAND over one co-located group of layered blocks (one bucket, one
+    * partition's buckets, or — on the driver-local path — the whole
+    * candidate set: correctness only needs all layers of a docId present).
+    * Emits ≤ k (docId, score) rows.
+    */
   def wandBucket(
-      blocks: Iterator[TermBlock],
+      blocks: Iterator[(Int, TermBlock)],
       termInfo: Map[Long, (Float, Float)], // termId → (weight, idf)
       avgdl: Float,
       method: Search.Method,
       k: Int,
-      p: Scoring.Params): Iterator[(Long, Float)] = {
-    val byTerm = blocks.toArray.groupBy(_.termId)
-    val cursors: Array[Cursor] = byTerm.toArray
-      .sortBy(_._1) // termId asc — fixed order for deterministic sums
-      .map { case (termId, bs) =>
+      p: Scoring.Params,
+      tomb: Map[Long, Int] = Map.empty): Iterator[(Long, Float)] = {
+    val byLayer = blocks.toArray.groupBy(sb => (sb._2.termId, sb._1))
+    val cursors: Array[Cursor] = byLayer.toArray
+      .sortBy(_._1) // (termId, seq) asc — fixed order for deterministic sums
+      .map { case ((termId, seq), bs) =>
         val (w, idf) = termInfo(termId)
-        new Cursor(termId, w, idf, bs, avgdl, method, p)
+        new Cursor(termId, seq, w, idf, bs.map(_._2), avgdl, method, p)
       }
     val heap = mutable.PriorityQueue.empty[(Float, Long)](worstFirst)
+    val noTombs = tomb.isEmpty
 
     def theta: Float =
       if (heap.size >= k) heap.head._1 else Float.NegativeInfinity
@@ -187,18 +206,27 @@ object Wand {
         else {
           val pivotDoc = sorted(pivotIdx).curDoc
           if (sorted(0).curDoc == pivotDoc) {
-            // fully aligned: exact score in termId order (cursors array
-            // is already termId-sorted)
+            // fully aligned: exact score in termId order (cursors array is
+            // already (termId, seq)-sorted; at most one layer per term is
+            // live for a given doc, so the sum order is termId asc — bit-
+            // identical to the naive scorer)
+            val tombSeq = if (noTombs) 0 else tomb.getOrElse(pivotDoc, 0)
             var s = 0.0f
+            var anyLive = false
             cursors.foreach { c =>
-              if (c.curDoc == pivotDoc) s += c.contribAtCur()
+              if (c.curDoc == pivotDoc && c.seq >= tombSeq) {
+                s += c.contribAtCur()
+                anyLive = true
+              }
             }
-            val cand = (s, pivotDoc)
-            if (heap.size < k) heap.enqueue(cand)
-            else if (worstFirst.compare(cand, heap.head) < 0) {
-              // beats the current worst under (score desc, docId asc)
-              heap.dequeue()
-              heap.enqueue(cand)
+            if (anyLive) {
+              val cand = (s, pivotDoc)
+              if (heap.size < k) heap.enqueue(cand)
+              else if (worstFirst.compare(cand, heap.head) < 0) {
+                // beats the current worst under (score desc, docId asc)
+                heap.dequeue()
+                heap.enqueue(cand)
+              }
             }
             cursors.foreach { c =>
               if (c.curDoc == pivotDoc) c.step()
@@ -211,6 +239,20 @@ object Wand {
       }
     }
     heap.iterator.map { case (score, docId) => (docId, score) }
+  }
+
+  /** Layered candidate blocks as a typed Dataset: (_seq, TermBlock). */
+  private def layeredBlocks(
+      h: IndexHandles,
+      termIds: Seq[Long]): org.apache.spark.sql.Dataset[(Int, TermBlock)] = {
+    import h.spark.implicits._
+    h.blocksFor(termIds)
+      .select(col("_seq").cast("int").as("_1"),
+        struct(col("termId"), col("bucket"), col("minDocId"),
+          col("maxDocId"), col("n"), col("minTf"), col("maxTf"),
+          col("minDocLen"), col("maxDocLen"), col("docIdsDelta"),
+          col("tfs"), col("docLens")).as("_2"))
+      .as[(Int, TermBlock)]
   }
 
   /** Distributed top-k: filter candidate blocks, shuffle by bucket, run
@@ -229,30 +271,61 @@ object Wand {
 
     val termInfo: Map[Long, (Float, Float)] =
       qp.terms.map(t => t.termId -> (t.weight, t.idf)).toMap
-    val bInfo = spark.sparkContext.broadcast(termInfo)
     val avgdl = qp.avgdl
     val m = method
     val kk = k
     val p = params
+    val tomb = h.tombMap
 
-    val blocks = h.blocksFor(qp.terms.map(_.termId))
-      .drop("group")
-      .as[TermBlock]
+    val blocks = layeredBlocks(h, qp.terms.map(_.termId))
 
+    // driver-local fast path: when the candidate volume is small (Σ df ≤
+    // graft.maxLocalWandPostings), pull the (encoded, compact) candidate
+    // blocks to the driver and run ONE WAND over all buckets — a single
+    // Spark job, no shuffle. Block-range disjointness holds index-wide per
+    // (term, layer), so a global run is exactly a one-bucket run.
+    val maxLocal = spark.conf
+      .getOption("graft.maxLocalWandPostings").map(_.toLong)
+      .getOrElse(4000000L)
+    val candVolume = qp.terms.map(_.df).sum
+    if (candVolume <= maxLocal) {
+      val top = wandBucket(
+        blocks.collect().iterator, termInfo, avgdl, m, kk, p, tomb)
+        .toArray
+        .sortBy(t => (-t._2, t._1))
+        .take(k)
+      return spark.createDataset(top.toSeq).toDF("docId", "score")
+    }
+
+    val bInfo = spark.sparkContext.broadcast(termInfo)
+    val bTomb = spark.sparkContext.broadcast(tomb)
     val partials =
-      if (qp.terms.size == 1)
-        // single term: every docId lives in exactly one block, and all
-        // blocks belong to the one cursor — per-PARTITION top-k needs no
-        // bucket co-location, so skip the shuffle entirely (1 Spark job)
+      if (qp.terms.size == 1 && tomb.isEmpty)
+        // single term, no layers to align: every docId lives in exactly one
+        // block and all blocks belong to the one cursor — per-PARTITION
+        // top-k needs no bucket co-location, so skip the shuffle entirely
         blocks.mapPartitions { it =>
-          wandBucket(it, bInfo.value, avgdl, m, kk, p)
+          wandBucket(it, bInfo.value, avgdl, m, kk, p, bTomb.value)
         }
-      else
+      else {
+        // co-locate buckets with a repartition sized to the job, not to
+        // spark.sql.shuffle.partitions: a query touches ≤ queryBuckets
+        // buckets, and more reducers than cores just buys scheduler rounds
+        val parts = math.max(1, math.min(
+          h.meta.get("queryBuckets").map(_.toInt).getOrElse(64),
+          spark.sparkContext.defaultParallelism))
         blocks
-          .groupByKey(_.bucket)
-          .flatMapGroups { (_, it) =>
-            wandBucket(it, bInfo.value, avgdl, m, kk, p)
+          .repartition(parts, col("_2.bucket"))
+          .mapPartitions { it =>
+            // several buckets land in one partition: group in memory, run
+            // WAND per bucket (same rows groupByKey would have brought
+            // here, minus the generic aggregator machinery)
+            val byBucket = it.toArray.groupBy(_._2.bucket)
+            byBucket.valuesIterator.flatMap(bs =>
+              wandBucket(bs.iterator, bInfo.value, avgdl, m, kk, p,
+                bTomb.value))
           }
+      }
 
     partials
       .toDF("docId", "score")

@@ -3,6 +3,7 @@ package graft.index
 import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -133,7 +134,7 @@ class IncrementalSpec extends AnyFunSuite {
 
   test("docs table ≡ fresh rebuild at (url, docLen) level; " +
       "stop-only doc gone, malformed doc keeps old version") {
-    val upd = spark.read.parquet(IndexBuilder.docsPath(updatedDir))
+    val upd = DeltaLog.docsView(spark, updatedDir)
       .select($"url", $"docLen").as[(String, Long)].collect().toMap
     val fresh = spark.read.parquet(IndexBuilder.docsPath(freshDir))
       .select($"url", $"docLen").as[(String, Long)].collect().toMap
@@ -151,8 +152,70 @@ class IncrementalSpec extends AnyFunSuite {
     assert(upd == fresh)
   }
 
+  /** Live (merge-on-read) flattened postings of an index directory. */
+  private def flatLive(dir: String): Set[(String, String, Int, Int)] = {
+    val docs = DeltaLog.docsView(spark, dir).select($"docId", $"url")
+    val terms = spark.read.parquet(IndexBuilder.termsPath(dir))
+      .select($"termId", $"term")
+    DeltaLog.postingsView(spark, dir)
+      .join(docs, "docId").join(terms, "termId")
+      .select($"url", $"term", $"tf", $"docLen")
+      .as[(String, String, Int, Int)].collect().toSet
+  }
+
   test("postings ≡ fresh rebuild at (url, term, tf, docLen) level") {
-    def flat(dir: String): Set[(String, String, Int, Int)] = {
+    assert(flatLive(updatedDir) == flatLive(freshDir))
+  }
+
+  test("1-doc update is merge-on-read: base posting files untouched, " +
+      "one small delta committed (bounded rewrite)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mor_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    def baseFiles(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 until conf.postingGroups).flatMap { g =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"${IndexBuilder.postingsPath(dir)}/group=$g")).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => st.getPath.toString ->
+            (st.getLen, st.getModificationTime))
+      }.toMap
+    }
+    val before = baseFiles()
+    // edit exactly one doc (diverse vocabulary — the case that rewrote the
+    // whole index under group-granularity rewrites)
+    val v1b = v1.updated(5, v1(5).copy(
+      text = "completely rewritten body texture shader opengl pipeline " +
+        "buffer compile network protocol cache pointer",
+      html = null, warc_ts = later(v1(5).warc_ts)))
+    val report = Incremental.update(spark, df(v1b), dir, conf)
+    assert(report.changed && report.reindexed == 1 && !report.compacted)
+    assert(baseFiles() == before) // NO base posting file rewritten
+    assert(DeltaLog.listSeqs(spark, dir) == Seq(1))
+    // the delta is O(1 doc): its postings are just the edited doc's terms
+    val deltaRows = spark.read
+      .parquet(s"${DeltaLog.seqPath(dir, 1)}/postings").count()
+    assert(deltaRows < 30)
+    // and the live view serves the edit
+    val got = Search.searchTop(spark, dir, "completely rewritten protocol",
+      Search.Bm25, 5).select($"url").as[String].collect()
+    assert(got.contains(v1(5).url))
+  }
+
+  test("compaction folds deltas into the base and preserves the live view") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    // deltaCompactEvery = 1 → the v1→v2 update compacts immediately
+    val report = Incremental.update(spark, df(v2), dir,
+      conf.copy(deltaCompactEvery = 1))
+    assert(report.changed && report.compacted)
+    assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+    assert(flatLive(dir) == flatLive(freshDir))
+    // post-compaction the BASE tables alone carry the state
+    val baseOnly = {
       val docs = spark.read.parquet(IndexBuilder.docsPath(dir))
         .select($"docId", $"url")
       val terms = spark.read.parquet(IndexBuilder.termsPath(dir))
@@ -162,7 +225,33 @@ class IncrementalSpec extends AnyFunSuite {
         .select($"url", $"term", $"tf", $"docLen")
         .as[(String, String, Int, Int)].collect().toSet
     }
-    assert(flat(updatedDir) == flat(freshDir))
+    assert(baseOnly == flatLive(freshDir))
+    // queries on the compacted index ≡ oracle
+    val got = Search
+      .searchTop(spark, dir, "texture array shader", Search.Bm25, 100000)
+      .select($"url", $"score").as[(String, Float)].collect().toVector
+    val want = oracle.searchTop("texture array shader", RefModel.Bm25, 100000)
+    def groups(v: Vector[(String, Float)]): Vector[(Float, Set[String])] =
+      v.groupBy(_._2).toVector.sortBy(-_._1)
+        .map { case (s, rows) => (s, rows.map(_._1).toSet) }
+    assert(groups(got) == groups(want))
+  }
+
+  test("empty corpus builds a valid, servable empty index") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_").toString
+    val m = IndexBuilder.build(spark, df(v1).limit(0), dir, conf)
+    assert(m.docCount == 0)
+    assert(Search.loadStats(spark, dir) == Schema.Stats(0L, 0L))
+    assert(Search.searchTop(spark, dir, "anything", Search.Bm25, 10)
+      .count() == 0)
+    // and it accepts a first incremental (streaming-style) upsert
+    val report = Incremental.update(spark, df(v1.take(5)), dir, conf,
+      purgeVanished = false)
+    assert(report.changed && report.added == 5)
+    assert(flatLive(dir).nonEmpty)
+    val got = Search.searchTop(spark, dir, "texture", Search.Bm25, 3)
+    assert(got.count() >= 0) // query path works end-to-end
   }
 
   test("stats ≡ fresh rebuild") {
@@ -170,17 +259,29 @@ class IncrementalSpec extends AnyFunSuite {
       Search.loadStats(spark, freshDir))
   }
 
-  test("blocks of updated index decode to its postings") {
-    val fromBlocks = spark.read
+  test("blocks (base + delta layers, tombstones applied) decode to the " +
+      "live postings view") {
+    val tomb = DeltaLog.tombstoneMap(spark, updatedDir)
+    val base = spark.read
       .parquet(IndexBuilder.blocksPath(updatedDir))
-      .drop("group").as[Schema.TermBlock]
-      .flatMap { b =>
+      .drop("group").withColumn("_seq", lit(0))
+    val delta = DeltaLog.deltaBlocks(spark, updatedDir).get
+      .withColumn("_seq", $"seq".cast("int")).drop("seq")
+    val fromBlocks = base.unionByName(delta)
+      .select($"_seq", struct($"termId", $"bucket", $"minDocId",
+        $"maxDocId", $"n", $"minTf", $"maxTf", $"minDocLen", $"maxDocLen",
+        $"docIdsDelta", $"tfs", $"docLens").as("b"))
+      .as[(Int, Schema.TermBlock)]
+      .flatMap { case (seq, b) =>
         val d = Blocks.decode(b)
         (0 until b.n).iterator.map(i =>
-          (b.termId, d.docIds(i), d.tfs(i), d.docLens(i)))
-      }.collect().toSet
-    val fromPostings = spark.read
-      .parquet(IndexBuilder.postingsPath(updatedDir))
+          (seq, b.termId, d.docIds(i), d.tfs(i), d.docLens(i)))
+      }.collect()
+      .filter { case (seq, _, docId, _, _) =>
+        seq >= tomb.getOrElse(docId, 0) // liveness rule
+      }
+      .map { case (_, t, d, tf, dl) => (t, d, tf, dl) }.toSet
+    val fromPostings = DeltaLog.postingsView(spark, updatedDir)
       .select($"termId", $"docId", $"tf", $"docLen")
       .as[(Long, Long, Int, Int)].collect().toSet
     assert(fromBlocks == fromPostings)

@@ -91,9 +91,23 @@ class IndexEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       engineTop(q, Search.Bm25, useWand = false, k = 1000))
   }
 
+  test("distributed WAND ≡ driver-local WAND " +
+      "(graft.maxLocalWandPostings=0 forces the shuffle path)") {
+    val queries = Seq("texture array shader", "opengl", "42 . data",
+      "textur aray shaderz")
+    val before = queries.map(q => engineTop(q, Search.Bm25, useWand = true))
+    spark.conf.set("graft.maxLocalWandPostings", "0")
+    try {
+      val after = queries.map(q => engineTop(q, Search.Bm25, useWand = true))
+      assert(after == before)
+    } finally spark.conf.unset("graft.maxLocalWandPostings")
+  }
+
   test("distributed dictionary expansion ≡ driver-local expansion " +
-      "(graft.maxDriverDictTerms=0 forces the big-dictionary path)") {
-    val queries = Seq("texture array shader", "textur aray shaderz", "opengl")
+      "(graft.maxDriverDictTerms=0 forces the big-dictionary path; " +
+      "\"42 . data\" exercises the tlen-pruned exact-token branch)") {
+    val queries = Seq("texture array shader", "textur aray shaderz",
+      "opengl", "42 . data")
     val before = queries.map(q => engineTop(q, Search.Bm25, useWand = true))
     graft.query.IndexHandles.invalidate(indexDir)
     spark.conf.set("graft.maxDriverDictTerms", "0")

@@ -180,17 +180,45 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.decodeImageStub(7L, bad))
   }
 
-  test("multimodal stub: schema + determinism + frame sampling shape") {
+  test("multimodal: schema + determinism + frame sampling shape") {
     val m1 = Multimodal.imageMeta(spark, dir).collect()
     val m2 = Multimodal.imageMeta(spark, dir).collect()
     assert(m1.sameElements(m2))
     assert(m1.length == 8)
-    val frames = Multimodal.frameSample(spark, dir, frameBytes = 16,
+    val frames = Multimodal.frameSample(spark, dir, frameChars = 16,
       stride = 2).filter($"doc_id" === 0L).count()
     val payload = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
     val nFrames = (payload.length + 15) / 16
     val expect = ((nFrames + 1) / 2).toLong // frame indices 0,2,4,…
     assert(frames == expect)
+    // per-frame md5 is over the frame's own chars: equal docs agree,
+    // different docs' first frames differ
+    val md5s = Multimodal.frameSample(spark, dir, frameChars = 16,
+      stride = 2).filter($"frame_idx" === 0L)
+      .select($"doc_id", $"frame_md5").as[(Long, String)].collect().toMap
+    assert(md5s(0L) == md5s(1L))
+    assert(md5s(0L) != md5s(3L))
+  }
+
+  test("multimodal driver-shaped mixed path: doc_id % 10 == 0 rows are " +
+      "REAL ImageIO-decoded PNGs, the rest take the stub branch") {
+    val rows = Multimodal.imageMeta(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("channels"))).toMap
+    // doc 0 carries synthPng(0): dims derive from docId, decoded for real
+    val (png0, w0, h0) = Multimodal.synthPng(0L)
+    assert(Multimodal.looksLikeImage(png0))
+    assert(rows(0L) == ((w0, h0, 3)))
+    // a non-stratum doc goes through the stub on its text bytes
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val stub1 = Multimodal.decodeImageStub(1L,
+      base.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(rows(1L) == ((stub1.width, stub1.height, stub1.channels)))
+    // synthPng is deterministic (same bytes, same decode) across calls
+    assert(Multimodal.synthPng(30L)._1.sameElements(
+      Multimodal.synthPng(30L)._1))
   }
 }

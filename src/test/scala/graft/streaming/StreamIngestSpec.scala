@@ -49,12 +49,14 @@ class StreamIngestSpec extends AnyFunSuite {
       .createTempDirectory("graft_stream_fresh_").toString
     IndexBuilder.build(spark, pageRows(0L until 60L).toDF(), freshDir, conf)
 
+    // live views: micro-batch upserts commit merge-on-read deltas, so the
+    // comparable state is base ∪ deltas with tombstone liveness applied
     def flat(d: String): Set[(String, String, Int, Int)] = {
-      val docs = spark.read.parquet(IndexBuilder.docsPath(d))
+      val docs = graft.index.DeltaLog.docsView(spark, d)
         .select($"docId", $"url")
       val terms = spark.read.parquet(IndexBuilder.termsPath(d))
         .select($"termId", $"term")
-      spark.read.parquet(IndexBuilder.postingsPath(d))
+      graft.index.DeltaLog.postingsView(spark, d)
         .join(docs, "docId").join(terms, "termId")
         .select($"url", $"term", $"tf", $"docLen")
         .as[(String, String, Int, Int)].collect().toSet
