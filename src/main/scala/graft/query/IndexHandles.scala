@@ -105,16 +105,24 @@ final class IndexHandles private (
       .getOrElse(200000000L)
     meta("postingCount").toLong <= maxPostings
   }
+  // cached blocks get ~8M postings (≈ 25-30 MB encoded) per partition: the
+  // writer's 64 file-partitions would cost a 64-task scheduling round per
+  // query, which dominates p50 at small candidate sets
+  private def blockParts(postings: Long): Int =
+    math.max(1, math.min(64, (postings / 8000000L).toInt + 1))
   private val blocksDf: DataFrame = {
     val df = spark.read.parquet(IndexBuilder.blocksPath(indexDir))
-    if (cacheBlocks) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    if (cacheBlocks)
+      df.coalesce(blockParts(meta("postingCount").toLong))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    else df
   }
   private val postingsDf: DataFrame =
     spark.read.parquet(IndexBuilder.postingsPath(indexDir))
   private val deltaBlocksDf: Option[DataFrame] =
     DeltaLog.deltaBlocks(spark, indexDir)
       .map(df => if (cacheBlocks)
-        df.persist(StorageLevel.MEMORY_AND_DISK) else df)
+        df.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK) else df)
 
   /** Candidate blocks across base + delta layers, with a `_seq` layer
     * column (base = 0). Base is group- and termId-pruned at the parquet
@@ -132,6 +140,87 @@ final class IndexHandles private (
           .withColumn("_seq", col("seq").cast("int")).drop("seq")
         base.unionByName(delta)
     }
+  }
+
+  /** Serving-node block cache: collected candidate blocks per termId, for
+    * the driver-local WAND path. The reference engine holds its ENTIRE
+    * index in process memory; the rebuild's analog is this bounded hot-term
+    * cache — repeat terms skip the Spark collect entirely (0 jobs), cold
+    * terms pay one pruned scan. Capacity is bounded in POSTINGS
+    * (`graft.driverBlockCachePostings`, default 8M ≈ ~30 MB encoded);
+    * inserts past the cap evict oldest-first. Per-handle, so every index
+    * version (delta commit / rebuild) starts clean.
+    */
+  private val blockCacheCap: Long = spark.conf
+    .getOption("graft.driverBlockCachePostings").map(_.toLong)
+    .getOrElse(8000000L)
+  private val blockCache =
+    TrieMap.empty[Long, Array[(Int, graft.index.Schema.TermBlock)]]
+  private val blockCacheOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  private val blockCachePostings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Layered candidate blocks of `termIds`, collected (driver-local WAND
+    * input), served from the bounded hot-term cache where possible.
+    */
+  def candidateBlocks(
+      termIds: Seq[Long]): Array[(Int, graft.index.Schema.TermBlock)] = {
+    import spark.implicits._
+    val (hits, misses) = termIds.partition(blockCache.contains)
+    val fetched: Array[(Int, graft.index.Schema.TermBlock)] =
+      if (misses.isEmpty) Array.empty
+      else blocksFor(misses)
+        .select(col("_seq").cast("int").as("_1"),
+          struct(col("termId"), col("bucket"), col("minDocId"),
+            col("maxDocId"), col("n"), col("minTf"), col("maxTf"),
+            col("minDocLen"), col("maxDocLen"), col("docIdsDelta"),
+            col("tfs"), col("docLens")).as("_2"))
+        .as[(Int, graft.index.Schema.TermBlock)]
+        .collect()
+    if (misses.nonEmpty) {
+      val byTerm = fetched.groupBy(_._2.termId)
+      misses.foreach { t =>
+        val bs = byTerm.getOrElse(t, Array.empty)
+        val n = bs.iterator.map(_._2.n.toLong).sum
+        blockCachePostings.addAndGet(n)
+        blockCache.put(t, bs)
+        blockCacheOrder.add(t)
+      }
+      while (blockCachePostings.get() > blockCacheCap &&
+          !blockCacheOrder.isEmpty) {
+        val old = blockCacheOrder.poll()
+        blockCache.remove(old).foreach(bs =>
+          blockCachePostings.addAndGet(-bs.iterator.map(_._2.n.toLong).sum))
+      }
+    }
+    hits.iterator.flatMap(t => blockCache.getOrElse(t, Array.empty))
+      .toArray ++ fetched
+  }
+
+  /** Bounded docId → url cache for result attachment: top-k ids repeat
+    * heavily across queries, so the warm serving path needs zero Spark
+    * jobs. Cap ~100k entries (a few MB of urls); cleared with the handle.
+    */
+  private val urlCache = TrieMap.empty[Long, String]
+
+  def urlsFor(docIds: Seq[Long]): Map[Long, String] = {
+    import spark.implicits._
+    val misses = docIds.filterNot(urlCache.contains)
+    if (misses.nonEmpty) {
+      val fetched = docs
+        .filter(col("docId").isin(misses: _*))
+        .as[(Long, String)]
+        .collect()
+      if (urlCache.size + fetched.length <= 100000)
+        fetched.foreach { case (id, u) => urlCache.put(id, u) }
+      return docIds.iterator
+        .flatMap(id => urlCache.get(id).orElse(
+          fetched.collectFirst { case (i, u) if i == id => u })
+          .map(id -> _))
+        .toMap
+    }
+    docIds.iterator.flatMap(id => urlCache.get(id).map(id -> _)).toMap
   }
 
   /** Live candidate postings (liveness applied): the naive-scorer input. */

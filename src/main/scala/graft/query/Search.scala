@@ -216,19 +216,20 @@ object Search {
     import spark.implicits._
     val h = IndexHandles(spark, indexDir)
     val qp = plan(spark, h, query, method, params)
-    val scored =
-      if (useWand) Wand.topK(spark, h, qp, method, k, params)
+    // ≤ k rows land on the driver; urls attach via the handle's bounded
+    // docId→url cache (pruned isin lookup on miss) — a broadcast join here
+    // would stream the ENTIRE docs table through the probe side per query
+    var top: Array[(Long, Float)] =
+      if (useWand)
+        // already (score desc, docId asc)-sorted and ≤ k
+        Wand.topKArray(spark, h, qp, method, k, params)
+          .filter(_._2 > 0.0f)
       else scoreNaive(spark, h, qp, method, params)
-    // ≤ k rows: land them on the driver and attach urls with a pruned
-    // lookup on the cached docs table (isin enables in-memory batch
-    // pruning) — a broadcast join here would stream the ENTIRE docs table
-    // through the probe side per query
-    var top = scored
-      .filter($"score" > 0.0f)
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(k)
-      .as[(Long, Float)]
-      .collect()
+        .filter($"score" > 0.0f)
+        .orderBy($"score".desc, $"docId".asc)
+        .limit(k)
+        .as[(Long, Float)]
+        .collect()
     if (padToK && top.length < k) {
       val have = top.map(_._1).toSet
       val pad = h.docs
@@ -244,11 +245,7 @@ object Search {
     if (top.isEmpty)
       return spark.emptyDataset[(String, Float, Long)]
         .toDF("url", "score", "docId")
-    val urls = h.docs
-      .filter($"docId".isin(top.map(_._1): _*))
-      .as[(Long, String)]
-      .collect()
-      .toMap
+    val urls = h.urlsFor(top.map(_._1).toSeq)
     val out = top.map { case (docId, score) =>
       (urls.getOrElse(docId, ""), score, docId)
     }.toSeq

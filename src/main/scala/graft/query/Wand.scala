@@ -90,6 +90,25 @@ object Wand {
     var curDoc: Long = Long.MaxValue
     positionAtBlockStart()
 
+    /** Upper bound of THIS cursor's current block (0 when exhausted) —
+      * the block-max re-check that lets aligned candidates be skipped
+      * without decoding (Ding & Suel block-max WAND).
+      */
+    private var ubBi = -1
+    private var ubVal = 0.0f
+    def curBlockUb: Float = {
+      if (bi >= blocks.length) return 0.0f
+      if (ubBi != bi) {
+        ubVal = blockUpperBound(blocks(bi), weight, idf, avgdl, method, p)
+        ubBi = bi
+      }
+      ubVal
+    }
+
+    /** Last docId of the current block (shallow — no decode needed). */
+    def curBlockMaxDoc: Long =
+      if (bi < blocks.length) blocks(bi).maxDocId else Long.MaxValue
+
     private def positionAtBlockStart(): Unit = {
       dec = null
       pos = 0
@@ -186,54 +205,103 @@ object Wand {
     def theta: Float =
       if (heap.size >= k) heap.head._1 else Float.NegativeInfinity
 
+    // arr is kept sorted by curDoc via in-place insertion sort (nearly
+    // sorted between iterations — the hot loop allocates NOTHING);
+    // exhausted cursors (curDoc = MaxValue) sink to the tail
+    val arr = cursors.clone()
+    def sortArr(): Unit = {
+      var i = 1
+      while (i < arr.length) {
+        val c = arr(i)
+        val d = c.curDoc
+        var j = i - 1
+        while (j >= 0 && arr(j).curDoc > d) {
+          arr(j + 1) = arr(j)
+          j -= 1
+        }
+        arr(j + 1) = c
+        i += 1
+      }
+    }
+
     var done = false
     while (!done) {
-      val live = cursors.filter(_.curDoc != Long.MaxValue)
-      if (live.isEmpty) done = true
+      sortArr()
+      if (arr(0).curDoc == Long.MaxValue) done = true
       else {
-        val sorted = live.sortBy(_.curDoc)
         // pivot: minimal prefix whose positive term-ub sum reaches θ
         var acc = 0.0f
         var pivotIdx = -1
         var i = 0
         val th = theta
-        while (pivotIdx < 0 && i < sorted.length) {
-          acc += sorted(i).termUb
+        while (pivotIdx < 0 && i < arr.length &&
+            arr(i).curDoc != Long.MaxValue) {
+          acc += arr(i).termUb
           if (acc >= th) pivotIdx = i
           i += 1
         }
         if (pivotIdx < 0) done = true // even all ubs can't reach θ
         else {
-          val pivotDoc = sorted(pivotIdx).curDoc
-          if (sorted(0).curDoc == pivotDoc) {
-            // fully aligned: exact score in termId order (cursors array is
-            // already (termId, seq)-sorted; at most one layer per term is
-            // live for a given doc, so the sum order is termId asc — bit-
-            // identical to the naive scorer)
-            val tombSeq = if (noTombs) 0 else tomb.getOrElse(pivotDoc, 0)
-            var s = 0.0f
-            var anyLive = false
-            cursors.foreach { c =>
-              if (c.curDoc == pivotDoc && c.seq >= tombSeq) {
-                s += c.contribAtCur()
-                anyLive = true
+          val pivotDoc = arr(pivotIdx).curDoc
+          if (arr(0).curDoc == pivotDoc) {
+            // aligned: cursors at pivotDoc form the prefix arr(0..e)
+            var e = 0
+            while (e + 1 < arr.length && arr(e + 1).curDoc == pivotDoc)
+              e += 1
+            // block-max re-check: the CURRENT blocks' bound sum is much
+            // tighter than the global term-ub sum that picked the pivot.
+            // Strictly-below-θ docs can't enter the heap (equal-score ties
+            // go through exact scoring, preserving the docId tiebreak), so
+            // the whole aligned group can move past these blocks WITHOUT
+            // decoding them.
+            var bub = 0.0f
+            var j = 0
+            while (j <= e) { bub += arr(j).curBlockUb; j += 1 }
+            if (bub < th) {
+              // shallow skip to the first doc where the block set can
+              // change: min current-block end + 1, capped by the next
+              // cursor's position (a new term joining could raise the sum)
+              var nxt = Long.MaxValue
+              j = 0
+              while (j <= e) {
+                val b = arr(j).curBlockMaxDoc
+                if (b < nxt) nxt = b
+                j += 1
               }
-            }
-            if (anyLive) {
-              val cand = (s, pivotDoc)
-              if (heap.size < k) heap.enqueue(cand)
-              else if (worstFirst.compare(cand, heap.head) < 0) {
-                // beats the current worst under (score desc, docId asc)
-                heap.dequeue()
-                heap.enqueue(cand)
+              var target = nxt + 1
+              if (e + 1 < arr.length && arr(e + 1).curDoc < target)
+                target = arr(e + 1).curDoc
+              j = 0
+              while (j <= e) { arr(j).advanceTo(target); j += 1 }
+            } else {
+              // exact score in termId order (cursors master array is
+              // (termId, seq)-sorted; at most one layer per term is live
+              // for a given doc, so the sum order is termId asc — bit-
+              // identical to the naive scorer)
+              val tombSeq = if (noTombs) 0 else tomb.getOrElse(pivotDoc, 0)
+              var s = 0.0f
+              var anyLive = false
+              cursors.foreach { c =>
+                if (c.curDoc == pivotDoc && c.seq >= tombSeq) {
+                  s += c.contribAtCur()
+                  anyLive = true
+                }
               }
-            }
-            cursors.foreach { c =>
-              if (c.curDoc == pivotDoc) c.step()
+              if (anyLive) {
+                val cand = (s, pivotDoc)
+                if (heap.size < k) heap.enqueue(cand)
+                else if (worstFirst.compare(cand, heap.head) < 0) {
+                  // beats the current worst under (score desc, docId asc)
+                  heap.dequeue()
+                  heap.enqueue(cand)
+                }
+              }
+              j = 0
+              while (j <= e) { arr(j).step(); j += 1 }
             }
           } else {
             // advance the earliest cursor up to the pivot
-            sorted(0).advanceTo(pivotDoc)
+            arr(0).advanceTo(pivotDoc)
           }
         }
       }
@@ -255,19 +323,20 @@ object Wand {
       .as[(Int, TermBlock)]
   }
 
-  /** Distributed top-k: filter candidate blocks, shuffle by bucket, run
-    * per-bucket WAND, reduce to global k. Returns (docId, score).
+  /** Top-k as driver rows, sorted (score desc, docId asc), length ≤ k —
+    * the serving path ([[Search.searchTop]]) consumes this directly so the
+    * warm driver-local path runs with ZERO Spark jobs (hot-term block cache
+    * in [[IndexHandles.candidateBlocks]]).
     */
-  def topK(
+  def topKArray(
       spark: SparkSession,
       h: IndexHandles,
       qp: Search.QueryPlan,
       method: Search.Method,
       k: Int,
-      params: Scoring.Params = Scoring.Params()): DataFrame = {
-    import spark.implicits._
+      params: Scoring.Params = Scoring.Params()): Array[(Long, Float)] = {
     if (qp.terms.isEmpty || (method == Search.Bm25 && qp.avgdl == 0.0f))
-      return spark.emptyDataset[(Long, Float)].toDF("docId", "score")
+      return Array.empty
 
     val termInfo: Map[Long, (Float, Float)] =
       qp.terms.map(t => t.termId -> (t.weight, t.idf)).toMap
@@ -277,26 +346,27 @@ object Wand {
     val p = params
     val tomb = h.tombMap
 
-    val blocks = layeredBlocks(h, qp.terms.map(_.termId))
-
     // driver-local fast path: when the candidate volume is small (Σ df ≤
-    // graft.maxLocalWandPostings), pull the (encoded, compact) candidate
-    // blocks to the driver and run ONE WAND over all buckets — a single
-    // Spark job, no shuffle. Block-range disjointness holds index-wide per
-    // (term, layer), so a global run is exactly a one-bucket run.
+    // graft.maxLocalWandPostings), run ONE WAND over all buckets on the
+    // driver — at most one Spark job (the pruned block fetch, skipped on
+    // block-cache hits), no shuffle. Block-range disjointness holds
+    // index-wide per (term, layer), so a global run is exactly a
+    // one-bucket run.
     val maxLocal = spark.conf
       .getOption("graft.maxLocalWandPostings").map(_.toLong)
       .getOrElse(4000000L)
     val candVolume = qp.terms.map(_.df).sum
     if (candVolume <= maxLocal) {
-      val top = wandBucket(
-        blocks.collect().iterator, termInfo, avgdl, m, kk, p, tomb)
+      return wandBucket(
+        h.candidateBlocks(qp.terms.map(_.termId)).iterator,
+        termInfo, avgdl, m, kk, p, tomb)
         .toArray
         .sortBy(t => (-t._2, t._1))
         .take(k)
-      return spark.createDataset(top.toSeq).toDF("docId", "score")
     }
 
+    import spark.implicits._
+    val blocks = layeredBlocks(h, qp.terms.map(_.termId))
     val bInfo = spark.sparkContext.broadcast(termInfo)
     val bTomb = spark.sparkContext.broadcast(tomb)
     val partials =
@@ -331,5 +401,22 @@ object Wand {
       .toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
+      .as[(Long, Float)]
+      .collect()
+  }
+
+  /** Distributed top-k as a DataFrame (docId, score) — [[topKArray]]
+    * wrapped for DataFrame consumers.
+    */
+  def topK(
+      spark: SparkSession,
+      h: IndexHandles,
+      qp: Search.QueryPlan,
+      method: Search.Method,
+      k: Int,
+      params: Scoring.Params = Scoring.Params()): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(topKArray(spark, h, qp, method, k, params).toSeq)
+      .toDF("docId", "score")
   }
 }

@@ -54,6 +54,26 @@ object QueryProfile {
     time("blocks scan only (count)") {
       h.blocksFor(qp.terms.map(_.termId)).count()
     }
+    locally {
+      import org.apache.spark.sql.functions.{col, struct}
+      import spark.implicits._
+      val ids = qp.terms.map(_.termId)
+      def collected() = h.blocksFor(ids)
+        .select(col("_seq").cast("int").as("_1"),
+          struct(col("termId"), col("bucket"), col("minDocId"),
+            col("maxDocId"), col("n"), col("minTf"), col("maxTf"),
+            col("minDocLen"), col("maxDocLen"), col("docIdsDelta"),
+            col("tfs"), col("docLens")).as("_2"))
+        .as[(Int, graft.index.Schema.TermBlock)].collect()
+      val blocks = collected()
+      println(s"candidate blocks: ${blocks.length}")
+      time("blocks collect (local path)") { collected() }
+      val ti = qp.terms.map(t => t.termId -> (t.weight, t.idf)).toMap
+      time("driver-local wandBucket") {
+        Wand.wandBucket(blocks.iterator, ti, qp.avgdl, Search.Bm25, 10, p)
+          .toArray
+      }
+    }
     spark.stop()
   }
 }
