@@ -163,16 +163,19 @@ object IndexBuilder {
     runConcurrently(Seq(
       () => {
         cp.stage("docs") {
+          // exactly one marker row per url: assign docId = url rank with
+          // the (warc_ts, docLen) payload carried through the range sort —
+          // no join-back against the markers
           val markers = spark.read.parquet(s"${ftPath(indexDir)}/m=true")
             .select($"url", $"warc_ts", $"docLen")
-          val assigned = DenseId.assign(
-            spark, markers.select($"url".as("value")).as[String],
-            conf.partitions, idName = "docId", keyName = "url",
-            inputDistinct = true) // exactly one marker row per url
-          val docs = assigned.df
-            .join(markers, "url")
-            .select($"docId", $"url", $"warc_ts", $"docLen")
-          docs.write.mode("overwrite").parquet(docsPath(indexDir))
+            .as[(String, java.sql.Timestamp, Long)]
+          val assigned =
+            DenseId.assignWithPayload(markers, "url", conf.partitions)
+          assigned.ds
+            .map { case (docId, (url, ts, docLen)) =>
+              DocMeta(docId, url, ts, docLen)
+            }
+            .write.mode("overwrite").parquet(docsPath(indexDir))
           assigned.release()
           footerRowCounts(spark, Seq(docsPath(indexDir))).sum
         }
@@ -194,32 +197,70 @@ object IndexBuilder {
 
     // ---- stage postings (grouped, resumable): join ids, range-partition by
     // (termId, docId), sort, write. Groups = termId mod postingGroups.
-    val needPostings =
-      (0 until conf.postingGroups).exists(g => !cp.done("postings", g))
-    if (needPostings) {
+    val pendingGroups =
+      (0 until conf.postingGroups).filter(g => !cp.done("postings", g))
+    if (pendingGroups.nonEmpty) {
+      // docs is the classic small-dimension side of the postings join: gate
+      // an explicit broadcast on the measured doc count (docs-stage lineage
+      // rows) so moderate corpora skip the 37M-row shuffle-by-url entirely
+      // (the postings input becomes a narrow map over stage_ft), while at
+      // 10^9+ docs the gate keeps the sort-merge path — broadcasting the
+      // whole docs table to every executor would be the real scale-killer.
+      val docRows = cp.readMarker("docs", -1).map(_.rows).getOrElse(Long.MaxValue)
+      val broadcastDocsMax = spark.conf
+        .getOption("graft.broadcastDocsMaxRows").map(_.toLong)
+        .getOrElse(4000000L)
+      val docsDim = docs.select($"url", $"docId", $"docLen")
+      val docsJoin =
+        if (docRows <= broadcastDocsMax) broadcast(docsDim) else docsDim
       val joined = ft
-        .join(docs.select($"url", $"docId", $"docLen"), "url")
+        .join(docsJoin, "url")
         .join(termsBase, "term")
         .select(
           $"termId", $"docId", $"tf".cast("int").as("tf"),
           $"docLen".cast("int").as("docLen"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val perGroupParts =
-        math.max(1, conf.partitions / conf.postingGroups)
       joined.count() // materialize the cache ONCE, in one parallel job
-      runConcurrently((0 until conf.postingGroups).map(g => () => {
-        cp.stage("postings", g) {
-          val grp = joined
-            .filter(pmod($"termId", lit(conf.postingGroups)) === g)
-            .repartitionByRange(perGroupParts, $"termId", $"docId")
-            .sortWithinPartitions($"termId", $"docId")
-          grp.write.mode("overwrite")
-            .parquet(s"${postingsPath(indexDir)}/group=$g")
-          footerRowCounts(spark,
-            Seq(s"${postingsPath(indexDir)}/group=$g")).sum
+      if (pendingGroups.size == conf.postingGroups) {
+        // fresh build: ONE range shuffle writes every group. The leading
+        // `group` sort/range key keeps each group's rows in their own
+        // partitionBy(group) files; the (termId, docId) tail still splits
+        // head-term skew across partitions by docId sub-ranges. Replaces G
+        // per-group jobs whose sample+shuffle passes re-scanned the cache
+        // 2G+1 times — bandwidth-bound work that was the postings phase's
+        // wide-level scaling ceiling (measured 0.56 efficiency 4→16 cores).
+        val t0 = System.nanoTime()
+        joined
+          .withColumn("group",
+            pmod($"termId", lit(conf.postingGroups)).cast("int"))
+          .repartitionByRange(conf.partitions, $"group", $"termId", $"docId")
+          .sortWithinPartitions($"group", $"termId", $"docId")
+          .write.mode("overwrite").partitionBy("group")
+          .parquet(postingsPath(indexDir))
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        (0 until conf.postingGroups).foreach { g =>
+          cp.mark("postings", g, footerRowCounts(spark,
+            Seq(s"${postingsPath(indexDir)}/group=$g")).sum, wallMs)
         }
-        ()
-      }))
+      } else {
+        // resume: only re-run the missing groups (idempotent overwrites of
+        // their own group= dirs; completed groups' files are untouched)
+        val perGroupParts =
+          math.max(1, conf.partitions / conf.postingGroups)
+        runConcurrently(pendingGroups.map(g => () => {
+          cp.stage("postings", g) {
+            val grp = joined
+              .filter(pmod($"termId", lit(conf.postingGroups)) === g)
+              .repartitionByRange(perGroupParts, $"termId", $"docId")
+              .sortWithinPartitions($"termId", $"docId")
+            grp.write.mode("overwrite")
+              .parquet(s"${postingsPath(indexDir)}/group=$g")
+            footerRowCounts(spark,
+              Seq(s"${postingsPath(indexDir)}/group=$g")).sum
+          }
+          ()
+        }))
+      }
       joined.unpersist()
     }
     val postings = spark.read.parquet(
@@ -287,13 +328,16 @@ object IndexBuilder {
       (0 until conf.postingGroups).map(g =>
         s"${postingsPath(indexDir)}/group=$g"))
     val postingCount = partCounts.sum
-    val termCount = spark.read.parquet(termsPath(indexDir)).count()
     val perPartAvg =
       if (partCounts.isEmpty) 0.0 else partCounts.sum.toDouble / partCounts.length
     val perPartMax = if (partCounts.isEmpty) 0L else partCounts.max
-    val dfStats = spark.read.parquet(termsPath(indexDir))
-      .agg(max($"df").as("m"), avg($"df").as("a"))
-      .as[(Long, Double)].collect()(0)
+    // one scan for every dictionary metric (termCount + df skew)
+    val (termCount, dfStats) = {
+      val r = spark.read.parquet(termsPath(indexDir))
+        .agg(count(lit(1)).as("n"), max($"df").as("m"), avg($"df").as("a"))
+        .as[(Long, Option[Long], Option[Double])].collect()(0)
+      (r._1, (r._2.getOrElse(0L), r._3.getOrElse(0.0)))
+    }
     val wallMs = (System.nanoTime() - t0) / 1000000L
     val metrics = BuildMetrics(
       buildId = conf.buildId,

@@ -180,13 +180,21 @@ object Ann {
       sfDir: String,
       threshold: Double = 0.35,
       planes: Int = 0, // ≤0 → adaptive: ceil(log2(N/8)), clamped [4, 48]
-      tables: Int = 16): DataFrame = {
+      tables: Int = 16): DataFrame = LiveResultCache.getOrCompute(
+    "cosineNearDup", s"$sfDir|$threshold|$planes|$tables") {
     val nVec = emb(spark, sfDir).count()
     val p =
       if (planes > 0) planes
       else math.min(48, math.max(4,
         math.ceil(math.log(math.max(1.0, nVec / 8.0)) / math.log(2.0)).toInt))
+    // the signature scan (tables × p dot products per vector) feeds BOTH
+    // sides of the self-join — persist it once; the set lives on as the
+    // op's bounded serving cache. The memoized getOrCompute wrapper is
+    // load-bearing here: the signature flatMap captures a fresh broadcast
+    // per call, so canonicalized-plan cache matching alone can never
+    // re-attach across calls.
     val sigs = tableSignatures(spark, sfDir, p, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.as("a")
     val b = sigs.as("b")
     val cand = a.join(b,
@@ -195,7 +203,7 @@ object Ann {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     val e = emb(spark, sfDir)
-    cand
+    val pairs = cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")),
         "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
@@ -205,5 +213,6 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
       .orderBy("id_a", "id_b")
+    (pairs, Seq(sigs))
   }
 }

@@ -39,20 +39,98 @@ object ScalingBench {
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", "64")
+      // split sizing for wide levels: the default 128 MB/4 MB bin-packing
+      // collapses the ~2 GB corpus scan to ~16 splits — one task wave at 16
+      // cores (straggler-bound, zero pipelining) — and the ~170 MB stage_ft
+      // re-reads to ~2 splits. 16 MB/1 MB yields ≥8 waves per scan at every
+      // level measured here; on a real cluster this is the per-deployment
+      // `files.maxPartitionBytes` tuning the Spark docs prescribe.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
+  /** Per-stage task-metric aggregation (run/gc/max-task time) — the
+    * decomposition tool for scaling regressions: prints to the level log,
+    * never to the parsed JSON.
+    */
+  private final class StageProfiler
+      extends org.apache.spark.scheduler.SparkListener {
+    import org.apache.spark.scheduler.{SparkListenerStageCompleted, SparkListenerTaskEnd}
+    final class Agg {
+      var name = ""
+      var tasks = 0
+      var runMs = 0L
+      var gcMs = 0L
+      var maxTaskMs = 0L
+      var wallMs = 0L
+    }
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Agg]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val a = stages.computeIfAbsent(t.stageId, _ => new Agg)
+      val m = t.taskMetrics
+      if (m != null) a.synchronized {
+        a.tasks += 1
+        a.runMs += m.executorRunTime
+        a.gcMs += m.jvmGCTime
+        a.maxTaskMs = math.max(a.maxTaskMs, m.executorRunTime)
+      }
+    }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val a = stages.computeIfAbsent(s.stageInfo.stageId, _ => new Agg)
+      a.synchronized {
+        a.name = s.stageInfo.name.takeWhile(_ != '\n').take(60)
+        a.wallMs = (for {
+          sub <- s.stageInfo.submissionTime
+          end <- s.stageInfo.completionTime
+        } yield end - sub).getOrElse(0L)
+      }
+    }
+    def report(top: Int = 18): String = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2.runMs).take(top).map {
+        case (id, a) =>
+          f"stage $id%4d ${a.name}%-60s tasks=${a.tasks}%4d " +
+            f"wall=${a.wallMs}%6dms run=${a.runMs}%7dms gc=${a.gcMs}%6dms " +
+            f"maxTask=${a.maxTaskMs}%6dms"
+      }.mkString("\n")
+    }
+  }
+
   def runLevel(cores: Int, nDocs: Long): Level = {
     val spark = session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = Files.createTempDirectory(s"graft_scale_${cores}_").toString
+    // one unmeasured warm-up build (50k docs) per JVM before the measured
+    // window: C2-compiles the extract/tokenize/codec hot loops and the
+    // whole-stage-codegen classes (codegen cache is keyed on generated
+    // source, so the measured build reuses the compiled classes). Executor
+    // JVMs on a real cluster are long-lived; this mirrors the per-query
+    // warm-up below (benchmark.rs:73-76).
+    locally {
+      val warmCorpus = s"$dir/warm/corpus"
+      Synth.pagesDf(spark, 50000L, partitions = 16)
+        .write.mode("overwrite").parquet(warmCorpus)
+      IndexBuilder.build(spark, spark.read.parquet(warmCorpus), s"$dir/warm",
+        IndexBuilder.BuildConf(partitions = 16, postingGroups = 4,
+          queryBuckets = 16, buildId = "warm", assumeUniqueUrls = true))
+      val fs0 = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(s"$dir/warm"), true)
+    }
+    val profiler = new StageProfiler
+    spark.sparkContext.addSparkListener(profiler)
     // the north-rule input is a TABLE of pages (input_hint: Iceberg/
     // parquet), so materialize the synthetic corpus first (unmeasured) and
     // measure the real read-table → build-index job
     val corpusDir = s"$dir/corpus"
-    Synth.pagesDf(spark, nDocs, partitions = 64)
+    // 256 output files ≈ 9 MB each: parquet row-group granularity bounds
+    // split size from below, so file count IS the scan parallelism — 256
+    // gives every level ≥16 balanced waves instead of one straggler-bound
+    // wave at the wide level
+    Synth.pagesDf(spark, nDocs, partitions = 256)
       .write.mode("overwrite").parquet(corpusDir)
     val pages = spark.read.parquet(corpusDir)
 
@@ -65,6 +143,8 @@ object ScalingBench {
         queryBuckets = 64, buildId = s"scale$cores",
         assumeUniqueUrls = true))
     val buildMs = (System.nanoTime() - t0) / 1000000L
+    println(s"--- stage profile (level $cores, measured build) ---")
+    println(profiler.report())
 
     def percentile(xs: Seq[Double], p: Double): Double = {
       val s = xs.sorted
