@@ -106,28 +106,30 @@ object IndexBuilder {
         .select("url", "warc_ts", "html", "text")
         .as[(String, java.sql.Timestamp, Array[Byte], String)]
       val ft = pagesDs.mapPartitions { it =>
-        // one count map per PARTITION, cleared per doc — the per-doc
-        // allocation in this loop is what capped multi-core scaling
-        val counts = new java.util.HashMap[String, Integer](1 << 10)
+        // one interning count table per PARTITION ([[TermCounter]]):
+        // epoch-bumped per doc, canonical term Strings allocated once per
+        // partition — the per-occurrence token allocations in this loop
+        // were what capped wide-core scaling (CPU time inflated 27%, GC
+        // 6.5×, from 4 to 16 pinned cores; see BENCH/BASELINE.md)
+        val tc = new TermCounter()
         it.flatMap { case (url, ts, html, text) =>
           Extract.extractText(html, text) match {
             case None => Iterator.empty // malformed XML → doc skipped
             case Some(content) =>
-              counts.clear()
-              Lexer.foreachToken(content) { tok =>
-                counts.merge(tok, 1, (a, b) => a + b)
-              }
-              if (counts.isEmpty) Iterator.empty // A3: empty docs skipped
+              tc.beginDoc()
+              Lexer.foreachTokenRaw(content)(
+                (cs, s, e, stemmed) => tc.add(cs, s, e, stemmed))
+              if (tc.nTouched == 0) Iterator.empty // A3: empty docs skipped
               else {
-                val out = new Array[FtRow](counts.size + 1)
+                val out = new Array[FtRow](tc.nTouched + 1)
                 var i = 0
                 var docLen = 0L
-                val e = counts.entrySet().iterator()
-                while (e.hasNext) {
-                  val kv = e.next()
-                  out(i) = FtRow(url, kv.getKey, kv.getValue, null, 0L,
+                while (i < tc.nTouched) {
+                  val slot = tc.touched(i)
+                  val tf = tc.countAt(slot)
+                  out(i) = FtRow(url, tc.termAt(slot), tf, null, 0L,
                     m = false)
-                  docLen += kv.getValue.intValue()
+                  docLen += tf
                   i += 1
                 }
                 // per-doc marker row: term=null, carries (warc_ts, docLen)

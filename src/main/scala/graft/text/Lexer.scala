@@ -39,11 +39,29 @@ object Lexer {
     out
   }
 
-  /** Streaming form of [[tokenize]] — the index build's per-doc hot path
-    * counts tokens straight into a hash map, so the intermediate buffer
-    * (and its growth copies) is pure allocation overhead there.
+  /** Streaming form of [[tokenize]]: allocates one String per emitted
+    * token. Stop words (L4) are dropped here, matching the reference.
     */
-  def foreachToken(content: String)(emit: String => Unit): Unit = {
+  def foreachToken(content: String)(emit: String => Unit): Unit =
+    foreachTokenRaw(content) { (cs, s, e, stemmed) =>
+      val str = cs match {
+        case str0: String => str0.substring(s, e)
+        case b => b.subSequence(s, e).toString
+      }
+      if (!stemmed || !StopWords.set.contains(str)) emit(str)
+    }
+
+  /** Zero-allocation streaming tokenize — the index build's hot path.
+    * `emit(cs, start, end, stemmed)` receives each token as a REGION of
+    * either `content` (numeric runs, symbols) or the shared Porter2 work
+    * buffer (alpha runs, already stemmed + uppercased); the region is
+    * valid ONLY during the callback — intern or copy (see
+    * [[graft.index.TermCounter]]). Tokens with `stemmed = true` must still
+    * be dropped by the caller when they match a stop word (L4 applies
+    * post-stem only); [[foreachToken]] does exactly that.
+    */
+  def foreachTokenRaw(content: String)(
+      emit: (CharSequence, Int, Int, Boolean) => Unit): Unit = {
     val n = content.length
     var i = 0 // UTF-16 index
     while (i < n) {
@@ -62,7 +80,7 @@ object Lexer {
         i = j
         // ignore single digit number (lexer.rs:59-61): count is in code
         // points, matching Rust's slice length over [char]
-        if (count > 1) emit(content.substring(start, j))
+        if (count > 1) emit(content, start, j, false)
       } else if (RustChar.isAlphabetic(cp)) {
         val start = i
         var j = i
@@ -70,11 +88,11 @@ object Lexer {
           j += Character.charCount(content.codePointAt(j))
         }
         i = j
-        val stemmed = Porter2.stemUpper(content.substring(start, j))
-        if (!StopWords.set.contains(stemmed)) emit(stemmed)
+        val sb = Porter2.stemUpperBuf(content, start, j)
+        emit(sb, 0, sb.length, true)
       } else {
         val w = Character.charCount(cp)
-        emit(content.substring(i, i + w))
+        emit(content, i, i + w, false)
         i += w
       }
     }

@@ -49,6 +49,10 @@ object Porter2 {
       k -> v.toUpperCase(java.util.Locale.ROOT)
     }
 
+  /** exception1Upper flattened for zero-allocation region lookup. */
+  private val exc1Keys: Array[String] = exception1Upper.keys.toArray
+  private val exc1Vals: Array[String] = exc1Keys.map(exception1Upper)
+
   private val exception2Arr: Array[String] = exception2.toArray
 
   /** Allocation-free exception2 membership test on the work buffer. */
@@ -105,30 +109,64 @@ object Porter2 {
     * special expansions there); buffers with any non-ASCII char take the
     * library fallback.
     */
-  def stemUpper(word: String): String = {
-    exception1Upper.get(word) match {
-      case Some(r) => return r
-      case None =>
-    }
-    if (word.length <= 2) return word.toUpperCase(java.util.Locale.ROOT)
+  def stemUpper(word: String): String =
+    stemUpperBuf(word, 0, word.length).toString
+
+  /** Buffer-level fused stem + uppercase over `content[start, end)` — the
+    * ZERO-allocation form of [[stemUpper]] for the index build's hot loop:
+    * exception words are found by region compare, the stem runs in place,
+    * and the THREAD-LOCAL work buffer is returned (contents valid only
+    * until the next Porter2 call on this thread — callers intern or copy;
+    * see [[graft.index.TermCounter]]). Only the rare non-ASCII uppercase
+    * fallback allocates.
+    */
+  def stemUpperBuf(
+      content: CharSequence, start: Int, end: Int): java.lang.StringBuilder = {
+    val len = end - start
     val sb = workBuf.get()
     sb.setLength(0)
-    sb.append(word)
-    stemBuf(sb)
+    var e = 0
+    while (e < exc1Keys.length) {
+      val k = exc1Keys(e)
+      if (k.length == len) {
+        var i = 0
+        var ok = true
+        while (ok && i < len) {
+          ok = k.charAt(i) == content.charAt(start + i)
+          i += 1
+        }
+        if (ok) { sb.append(exc1Vals(e)); return sb }
+      }
+      e += 1
+    }
+    sb.append(content, start, end)
+    if (len > 2) stemBuf(sb)
+    upperInPlace(sb)
+    sb
+  }
+
+  /** ASCII uppercase in place (exact under Locale.ROOT below 0x80); any
+    * non-ASCII char takes the library fallback through one String.
+    */
+  private def upperInPlace(sb: java.lang.StringBuilder): Unit = {
     var i = 0
     var ascii = true
     while (ascii && i < sb.length) {
       ascii = sb.charAt(i) < 0x80
       i += 1
     }
-    if (!ascii) return sb.toString.toUpperCase(java.util.Locale.ROOT)
-    var k = 0
-    while (k < sb.length) {
-      val c = sb.charAt(k)
-      if (c >= 'a' && c <= 'z') sb.setCharAt(k, (c - 32).toChar)
-      k += 1
+    if (ascii) {
+      var k = 0
+      while (k < sb.length) {
+        val c = sb.charAt(k)
+        if (c >= 'a' && c <= 'z') sb.setCharAt(k, (c - 32).toChar)
+        k += 1
+      }
+    } else {
+      val up = sb.toString.toUpperCase(java.util.Locale.ROOT)
+      sb.setLength(0)
+      sb.append(up)
     }
-    sb.toString
   }
 
   /** The algorithm proper, in-place on the caller's buffer. */
