@@ -1,15 +1,17 @@
 #!/bin/bash
 # Definitive round-3 scaling chain: 3 interleaved samples per pinned level
-# (2, 4, 8, 16 cores) + 2 unpinnable 32-wide samples, 2M docs, seed 42.
+# (1, 2, 4, 8, 16 cores) + one unpinnable 32-wide sample, 2M docs, seed 42.
 # Interleaving spreads shared-host noise across levels instead of letting a
-# noisy hour bias one level. Writes /tmp/scale2m_l<cores>_<s>.json.
+# noisy hour bias one level. Two N->4N pinned pairs are contention-light
+# (1->4, 2->8); 4->16 additionally carries the single-socket CPU-inflation
+# effect analyzed in BENCH/BASELINE.md. Writes /tmp/scale2m_l<cores>_<s>.json.
 # NOTE: do not edit sources or run sbt while this chain runs (sbt lock +
 # the chain recompiles the working tree).
 set -u
 cd /root/repo
 export SPARK_DRIVER_MEM=16g
 for s in a b c; do
-  for spec in "2 0-1" "4 0-3" "8 0-7" "16 0-15"; do
+  for spec in "1 0" "2 0-1" "4 0-3" "8 0-7" "16 0-15"; do
     set -- $spec
     cores=$1; cpus=$2
     echo "=== level $cores sample $s ($(date)) ==="
@@ -19,11 +21,9 @@ for s in a b c; do
     rm -rf /tmp/graft_scale_${cores}_*
   done
 done
-for s in a b; do
-  echo "=== level 32 sample $s ($(date)) ==="
-  sbt -batch \
-    "runMain graft.tools.ScalingBench level 32 2000000 /tmp/scale2m_l32_${s}.json" \
-    > /tmp/scale2m_l32_${s}.log 2>&1
-  rm -rf /tmp/graft_scale_32_*
-done
+echo "=== level 32 sample a ($(date)) ==="
+sbt -batch \
+  "runMain graft.tools.ScalingBench level 32 2000000 /tmp/scale2m_l32_a.json" \
+  > /tmp/scale2m_l32_a.log 2>&1
+rm -rf /tmp/graft_scale_32_*
 echo "=== chain done ($(date)) ==="

@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Assemble BENCH/BASELINE.md from ScalingBench level-JSON samples.
 
-Usage: python3 tools/scaling_report.py /tmp/scale_l{2,8,32}_{e,f,g}.json ...
-Groups samples by core count, reports median + all samples, computes
-N->4N efficiency from medians (and best-vs-best for reference).
+Round 3: consumes /tmp/scale2m_l<cores>_<s>.json (2M docs, round-3 code:
+single-shuffle postings, broadcast docs dim, 16MB scan splits, warm-up
+build). Groups samples by core count, reports median + all samples,
+computes N->4N efficiency from medians (and best-vs-best for reference).
+
+Usage: python3 tools/scaling_report.py [glob...]
 """
 import sys, json, glob, statistics
 
-files = sys.argv[1:] or sorted(glob.glob("/tmp/scale_l*_[hijk].json"))
+files = sys.argv[1:] or sorted(glob.glob("/tmp/scale2m_l*.json"))
 by_cores = {}
 for f in files:
     d = json.load(open(f))
@@ -19,33 +22,40 @@ med = {c: statistics.median(x["docsPerSec"] for x in v)
 best = {c: max(x["docsPerSec"] for x in v) for c, v in by_cores.items()}
 
 md = []
-md.append("# BENCH/BASELINE — measured numbers (round 2)")
+md.append("# BENCH/BASELINE — measured numbers (round 3)")
 md.append("")
 md.append("Corpus: deterministic synthetic Common-Crawl-style pages (seed 42,")
-md.append("1M docs, 1/3 XHTML needing real XML extraction), generated")
-md.append("distributedly. Job: full inverted-index build (`IndexBuilder.build`:")
-md.append("extract → tokenize → ids → range-partitioned sorted postings →")
-md.append("delta+varint blocks → stats/lineage/metrics; `assumeUniqueUrls=true`")
-md.append("since the synthetic corpus is unique-by-url by construction), then")
-md.append("the reference query set, 1 warm-up + 10 timed iterations per query")
-md.append("(benchmark.rs:73-76 parity).")
+md.append("**2M docs**, 1/3 XHTML needing real XML extraction), materialized")
+md.append("to parquet before the measured window. Job: the north-rule shape —")
+md.append("read pages table → extract → tokenize → ids → range-partitioned")
+md.append("sorted postings → delta+varint blocks → stats/lineage/metrics")
+md.append("(`IndexBuilder.build`, `assumeUniqueUrls=true` since the synthetic")
+md.append("corpus is unique-by-url by construction), then the reference query")
+md.append("set, 1 warm-up + 10 timed iterations per query (benchmark.rs:73-76")
+md.append("parity).")
 md.append("")
-md.append("## Methodology (round-2 change)")
+md.append("## Methodology")
 md.append("")
-md.append("This sandbox is a 32-vCPU VM on a SHARED host (runs vary up to ~7x;")
-md.append("round 1 used best-of-N). Round 2 pins each level to N physical")
-md.append("cores with `taskset -c` — the JVM then sizes its GC/JIT/IO pools")
-md.append("from the affinity mask, so a \"2-core\" level no longer gets free")
-md.append("32-thread GC — and reports the MEDIAN of 4 samples per level, all")
-md.append("samples listed. This is the faithful stand-in for the north rule's")
+md.append("This sandbox is a 32-vCPU VM on a SHARED host. Cumulative steal")
+md.append("time is ~38% of user time, arriving in bursts: identical pinned")
+md.append("16-core builds measured 64–102 s across one hour. Point samples")
+md.append("are therefore meaningless; every number below is the MEDIAN of 3")
+md.append("samples, the levels INTERLEAVED in time (a,b,c rounds each run")
+md.append("1→2→4→8→16) so a noisy hour hits all levels, not one. Each")
+md.append("level is pinned to N cores with `taskset -c` (the JVM sizes GC/JIT/IO")
+md.append("pools from the affinity mask); a 32-wide level uses every vCPU")
+md.append("and cannot be noise-isolated — reported separately. JVM flags")
+md.append("identical at every level: `-XX:+UseParallelGC -Xmx16g`. Each JVM")
+md.append("runs one unmeasured 50k-doc warm-up build first (C2 + codegen")
+md.append("compile out of the measured window — executor JVMs on a real")
+md.append("cluster are long-lived; mirrors the reference's query warm-up).")
+md.append("Scan splits are sized 16 MB (`spark.sql.files.maxPartitionBytes`)")
+md.append("so every level gets ≥4 balanced task waves per scan — the 128 MB")
+md.append("default collapsed the corpus scan to ~16 splits = ONE wave at 16")
+md.append("cores. This is the faithful sandbox stand-in for the north rule's")
 md.append("N vs 4N executors: same job, same input, same per-node resources.")
-md.append("JVM flags per level: `-XX:+UseParallelGC -Xmx16g` (throughput GC")
-md.append("for an allocation-heavy batch job; identical at every level). The")
-md.append("corpus is materialized to parquet BEFORE the measured window, so")
-md.append("the measured job is the north-rule shape: read pages table →")
-md.append("extract → tokenize → ids → postings → blocks → stats/lineage.")
 md.append("")
-md.append("## Index build throughput (docs/sec, 1M docs)")
+md.append("## Index build throughput (docs/sec, 2M docs)")
 md.append("")
 md.append("| cores | median docs/sec | median wall | all samples (docs/sec) |")
 md.append("|---|---|---|---|")
@@ -57,7 +67,7 @@ for c in cores_sorted:
     md.append(f"| {c} | {round(med[c]):,} | {mw:.0f} s | {samples} |")
 md.append("")
 one = by_cores[cores_sorted[0]][0]
-md.append(f"Index size: 1M docs, {one['rawMB']:.0f} MB raw corpus → "
+md.append(f"Index size: 2M docs, {one['rawMB']:.0f} MB raw corpus → "
           f"{one['indexMB']:.0f} MB index (postings + blocks + docs + terms "
           f"+ stats) = **{one['rawMB']/one['indexMB']:.1f}× space reduction**"
           f"; {one['postings']:,} postings (identical at every parallelism "
@@ -65,175 +75,101 @@ md.append(f"Index size: 1M docs, {one['rawMB']:.0f} MB raw corpus → "
 md.append("")
 md.append("## Scaling efficiency (north rule: ≥ 0.8 from N to 4N)")
 md.append("")
-md.append("efficiency = throughput(4N) / (4 × throughput(N)):")
+md.append("efficiency = throughput(4N) / (4 × throughput(N)). The round-2")
+md.append("verdict asked for a second independent pinned N→4N pair; round 3")
+md.append("measures three:")
 md.append("")
 md.append("| N → 4N | median-vs-median | best-vs-best |")
 md.append("|---|---|---|")
-for lo, hi in [(2, 8), (8, 32)]:
+for lo, hi in [(1, 4), (2, 8), (4, 16)]:
     if lo in med and hi in med:
         e_med = med[hi] / (4 * med[lo])
         e_best = best[hi] / (4 * best[lo])
-        md.append(f"| {lo} → {hi} cores | **{e_med:.3f}** | {e_best:.3f} |")
+        md.append(f"| {lo} → {hi} cores (pinned) | **{e_med:.3f}** | "
+                  f"{e_best:.3f} |")
+if 8 in med and 32 in med:
+    e_med = med[32] / (4 * med[8])
+    e_best = best[32] / (4 * best[8])
+    md.append(f"| 8 → 32 cores (32 unpinnable) | {e_med:.3f} | {e_best:.3f} |")
 md.append("")
-md.append("**Reading the 8→32 row**: a 32-wide level uses every vCPU, so it")
-md.append("cannot be taskset-isolated from host interference the way the")
-md.append("pinned 2/8 levels are — its four samples span 9,146…27,734")
-md.append("docs/sec with nothing changed but the host (the same run twenty")
-md.append("minutes apart; /proc/stat steal averages ~3% but bursts much")
-md.append("higher). The quiet-window sample (27,734) puts 8→32 at 0.43; the")
-md.append("engine-side evidence that the rolloff is not the engine's")
-md.append("dataflow:")
-md.append("")
-md.append("- the pure-JVM hot-path probe (below) scales the tokenize/stem")
-md.append("  path at **0.88** from 8→32 threads with zero Spark involvement;")
-md.append("- the dominant build stage (ft: read→extract→tokenize→write)")
-md.append("  measured **0.97** efficiency from 2→8 cores (lineage-stage")
-md.append("  walls, pinned runs);")
-md.append("- postings partitions stay balanced (max/avg 1.09), the stage DAG")
-md.append("  is identical at every level, and posting counts are")
-md.append("  bit-identical;")
-md.append("- the remaining sub-linear stages are fixed-latency tails (job")
-md.append("  submission, small-stage scans) that amortize with corpus size —")
-md.append("  which on this box runs into the next ceiling instead:")
-md.append("")
-md.append("## Headline pairs: 2M docs (tails amortized, memory-resident)")
-md.append("")
-two_m = {}
-two_m_full = {}
-for f in sorted(glob.glob("/tmp/scale2m_l*.json")):
+# same-round ratios: both levels of a pair measured in the same
+# interleaved round share host conditions
+rounds = {}
+for f in files:
     d = json.load(open(f))
-    two_m.setdefault(d["cores"], []).append(d["docsPerSec"])
-    two_m_full.setdefault(d["cores"], []).append(d)
-if two_m:
-    md.append("| cores | median docs/sec | all samples |")
-    md.append("|---|---|---|")
-    for c in sorted(two_m):
-        s = ", ".join(str(round(x)) for x in sorted(two_m[c], reverse=True))
-        md.append(f"| {c} | {round(statistics.median(two_m[c])):,} | {s} |")
+    tag = f.rsplit("_", 1)[1].split(".")[0]
+    rounds.setdefault(tag, {})[d["cores"]] = d["docsPerSec"]
+lines = []
+for tag in sorted(rounds):
+    v = rounds[tag]
+    parts = []
+    for lo, hi in [(1, 4), (2, 8), (4, 16)]:
+        if lo in v and hi in v:
+            parts.append(f"{lo}→{hi} = {v[hi]/(4*v[lo]):.2f}")
+    if parts:
+        lines.append(f"round {tag}: " + ", ".join(parts))
+if lines:
+    md.append("Same-round ratios (both pair levels measured within one")
+    md.append("interleaved round, so they share host conditions): " +
+              "; ".join(lines) + ".")
     md.append("")
-    md.append("Both N→4N pairs whose levels are taskset-isolatable on this")
-    md.append("32-vCPU host (a pinned level leaves headroom for host noise;")
-    md.append("a 32-wide level cannot):")
-    md.append("")
-    md.append("| N → 4N (pinned) | median-vs-median | best-vs-best |")
-    md.append("|---|---|---|")
-    for lo, hi in [(2, 8), (4, 16)]:
-        if lo in two_m and hi in two_m:
-            em = statistics.median(two_m[hi]) / (4 * statistics.median(two_m[lo]))
-            eb = max(two_m[hi]) / (4 * max(two_m[lo]))
-            md.append(f"| {lo} → {hi} cores | **{em:.3f}** | {eb:.3f} |")
-    md.append("")
-    md.append("2M docs is the largest corpus whose fixed stage tails")
-    md.append("amortize away on this box (ft is then ~75% of wall) while")
-    md.append("2/4/8-wide levels stay below the single-VM-disk ceiling")
-    md.append("that flattens the 4M runs below.")
-    # ---- tmpfs-backed pair: the disk-ceiling control experiment --------
-    tm = {}
-    for f in sorted(glob.glob("/tmp/scale2mT_l*.json")):
-        d = json.load(open(f))
-        tm.setdefault(d["cores"], []).append(d["docsPerSec"])
-    if 4 in tm and 16 in tm:
-        md.append("")
-        md.append("### Where the on-disk 4→16 number goes, and the control")
-        md.append("")
-        md.append("On the VM disk, 4→16 measures "
-                  f"{statistics.median(two_m[16]) / (4 * statistics.median(two_m[4])):.2f}"
-                  if 16 in two_m and 4 in two_m else "")
-        md.append("— and the per-(stage,group) lineage walls say exactly why:")
-        md.append("the ft stage (read corpus → extract → tokenize → write)")
-        md.append("speeds up 128.6 s → 42.4 s (3.0×), but the posting")
-        md.append("shuffle+sort+write phase gets SLOWER in absolute terms")
-        md.append("(~22 s → ~36 s per concurrent group). A 16-wide level")
-        md.append("finishes compute so fast that stage_ft's deferred parquet")
-        md.append("writeback (~1.5 GB) lands on top of the posting shuffle")
-        md.append("writes on the ONE VM disk; at 4 cores the writeback")
-        md.append("amortizes inside the 3× longer ft window. A 4N-executor")
-        md.append("cluster has 4N disks — aggregate storage bandwidth scales")
-        md.append("with the cluster, which is precisely the resource this")
-        md.append("single box cannot multiply.")
-        md.append("")
-        md.append("Control: the identical pinned pair with ALL storage")
-        md.append("(corpus, index, shuffle dirs) on tmpfs — removing only")
-        md.append("the single-disk artifact, nothing in the engine:")
-        md.append("")
-        md.append("| cores (tmpfs) | median docs/sec | all samples |")
-        md.append("|---|---|---|")
-        for c in sorted(tm):
-            ss = ", ".join(str(round(x)) for x in sorted(tm[c], reverse=True))
-            md.append(f"| {c} | {round(statistics.median(tm[c])):,} | {ss} |")
-        emT = statistics.median(tm[16]) / (4 * statistics.median(tm[4]))
-        ebT = max(tm[16]) / (4 * max(tm[4]))
-        md.append("")
-        md.append(f"**4 → 16 cores on tmpfs: {emT:.3f} median-vs-median, "
-                  f"{ebT:.3f} best-vs-best.**")
-        md.append("")
-    if 8 in two_m and 32 in two_m:
-        e32 = statistics.median(two_m[32]) / (4 * statistics.median(two_m[8]))
-        md.append("")
-        md.append(f"8 → 32 at 2M docs: {e32:.2f} — the unpinnable 32-wide")
-        md.append("level again (noise analysis above); its best absolute")
-        md.append(f"rate here, {round(max(two_m[32])):,} docs/sec, is the")
-        md.append("highest this sandbox has produced. With both pinned")
-        md.append("pairs clearing 0.8 on the identical dataflow, the 8→32")
-        md.append("shortfall is demonstrably the shared host (no isolatable")
-        md.append("32-wide window), not the engine.")
-    md.append("")
-    # query latency measured on the NEW pinned levels (round-3 code:
-    # block-max skipping + serving-node caches)
-    qcores = [c for c in sorted(two_m_full) if c in (4, 16)]
-    if qcores:
-        md.append("## Query latency (reference query set, 2M-doc index, ms)")
-        md.append("")
-        md.append("Medians of per-sample p50/p99 across samples per pinned")
-        md.append("level, measured in the same runs (round-3 serving path:")
-        md.append("block-max WAND + hot-term block cache + url cache — a")
-        md.append("warm query runs ZERO Spark jobs; 1 warm-up + 10 timed")
-        md.append("iterations per query, benchmark.rs parity).")
-        md.append("")
-        qnames2 = sorted(two_m_full[qcores[0]][0]["queryLatencyMs"])
-        md.append("| query | " + " | ".join(
-            f"{c} cores p50/p99" for c in qcores) + " |")
-        md.append("|---|" + "---|" * len(qcores))
-        for q in qnames2:
-            row = [q]
-            for c in qcores:
-                p50 = statistics.median(x["queryLatencyMs"][q]["p50"]
-                                        for x in two_m_full[c])
-                p99 = statistics.median(x["queryLatencyMs"][q]["p99"]
-                                        for x in two_m_full[c])
-                row.append(f"{p50:.0f} / {p99:.0f}")
-            md.append("| " + " | ".join(row) + " |")
-        md.append("")
-md.append("## Larger corpus (4M docs): the single-disk ceiling")
+md.append("**The round-3 investigation, in order.** The first pinned 4→16")
+md.append("measurement came in at 0.64. A tmpfs control (ALL storage on")
+md.append("/dev/shm) reproduced the on-disk number exactly — refuting the")
+md.append("round-2 hypothesis that the single VM disk explains wide-level")
+md.append("shortfalls at 2M docs. Per-stage lineage walls then split the")
+md.append("loss into two engine defects and one hardware effect:")
 md.append("")
-md.append("| cores | docs/sec | wall |")
-md.append("|---|---|---|")
-md.append("| 2 | 7,356 | 544 s |")
-md.append("| 8 | 9,262 | 432 s |")
-md.append("| 32 | 10,814 | 370 s |")
+md.append("1. *Engine (fixed):* the postings phase re-scanned its persisted")
+md.append("   join cache 2G+1 times (per-group range-sample + shuffle-map")
+md.append("   passes) and shuffled 37M rows by url for the docs join. Now:")
+md.append("   ONE range shuffle writes every posting group")
+md.append("   (partitionBy(group) with a leading group sort key), the docs")
+md.append("   dimension broadcasts under a 4M-row gate, and docId")
+md.append("   assignment carries its payload through the range sort instead")
+md.append("   of a corpus-sized join-back. Postings-phase wall at 16 cores:")
+md.append("   21.4 s → 6.6 s.")
+md.append("2. *Engine (fixed):* the default 128 MB split size collapsed the")
+md.append("   corpus scan to ~16 splits — ONE straggler-bound task wave at")
+md.append("   16 cores. Scans now split at 16 MB (≥4 waves per level);")
+md.append("   the ft loop also went allocation-free (buffer-level stemming")
+md.append("   + per-partition term interning, `index/TermCounter`).")
+md.append("3. *Hardware (characterized, not fixable on one box):* the ft")
+md.append("   stage runs the IDENTICAL 86 tasks at 4 and 16 pinned cores,")
+md.append("   but their summed executor CPU time inflates 443 s → 587 s")
+md.append("   (+32%) — per-task CPU cost rises when 16 threads share one")
+md.append("   socket (task-metric profiler, /tmp level logs). Actual GC")
+md.append("   pauses are ~1.5 s at either level (ParallelGC; the 24 s")
+md.append("   summed jvmGCTime is pause time attributed to all concurrent")
+md.append("   tasks), so this is memory-system contention plus active-core")
+md.append("   frequency rolloff, the same effect the pure-JVM tokenize")
+md.append("   probe shows at 0.88. Bit-identical posting counts and")
+md.append("   balanced partitions (skew 1.09) rule out dataflow causes.")
 md.append("")
-md.append("At 4M docs (7.5 GB corpus, 74M postings) every level converges to")
-md.append("7–11k docs/sec: the posting-group shuffle+sort+write stages take")
-md.append("the SAME wall at 2 and 8 cores (~50 s/group — lineage), i.e. the")
-md.append("one VM disk is saturated and core count stops mattering. Per-core")
-md.append("tokenize throughput at 2 cores actually RISES at 4M (5.5k vs 4.8k")
-md.append("docs/s/core — fixed tails amortized). On a real N vs 4N executor")
-md.append("cluster, disks and memory bandwidth multiply with node count —")
-md.append("precisely what a single box cannot reproduce; the pinned 1M pair")
-md.append("plus the 0.88–0.97 stage/probe numbers above are this sandbox's")
-md.append("best-faith evidence for the ≥0.8 rule.")
+md.append("On the north rule's actual condition — N vs 4N EXECUTORS — each")
+md.append("executor node keeps its own socket, memory channels and disks,")
+md.append("so the per-task CPU inflation of item 3 does not compound with")
+md.append("cluster size; the contention-light pinned pairs (1→4, 2→8) are")
+md.append("this sandbox's faithful stand-in for it, and 4→16 is reported")
+md.append("with its measured hardware component. The 32-wide level cannot")
+md.append("be pinned (it IS the whole VM) and carries full host noise —")
+md.append("shown for the absolute rate, not the efficiency rule.")
 md.append("")
-md.append("## Query latency at 1M docs (round-2 code, for comparison)")
+md.append("## Query latency (reference query set, 2M-doc index, ms)")
 md.append("")
-md.append("Medians of per-sample p50/p99 across the 4 samples per level.")
+md.append("Medians of per-sample p50/p99 across the 3 samples per level")
+md.append("(round-3 serving path: block-max WAND + hot-term block cache +")
+md.append("docId→url cache — a warm multi-term query runs ZERO Spark jobs;")
+md.append("1 warm-up + 10 timed iterations per query).")
 md.append("")
-qnames = sorted(one["queryLatencyMs"])
-md.append("| query | " + " | ".join(f"{c} cores p50/p99" for c in cores_sorted)
+qnames = sorted(by_cores[cores_sorted[0]][0]["queryLatencyMs"])
+qcores = [c for c in cores_sorted if c != 32]
+md.append("| query | " + " | ".join(f"{c} cores p50/p99" for c in qcores)
           + " |")
-md.append("|---|" + "---|" * len(cores_sorted))
+md.append("|---|" + "---|" * len(qcores))
 for q in qnames:
     row = [q]
-    for c in cores_sorted:
+    for c in qcores:
         p50 = statistics.median(x["queryLatencyMs"][q]["p50"]
                                 for x in by_cores[c])
         p99 = statistics.median(x["queryLatencyMs"][q]["p99"]
@@ -243,22 +179,34 @@ for q in qnames:
 md.append("")
 md.append("Query-path shape after round 3: dictionary expansion is")
 md.append("driver-local for dictionaries ≤ 1M terms (0 Spark jobs to plan),")
-md.append("candidate volumes ≤ graft.maxLocalWandPostings run block-max")
-md.append("WAND driver-local with a bounded hot-term block cache and a")
-md.append("docId→url cache → a WARM query is 0 Spark jobs, a cold one is 1")
-md.append("pruned scan (+1 url lookup). Head-term queries above the gate")
-md.append("take the distributed path: repartition-by-bucket sized to")
-md.append("min(buckets, parallelism), per-bucket WAND, global top-k.")
-md.append("Profiled at 1M docs / 32 cores (round-3 code): texture-array-")
-md.append("shader searchTop p50 = 69 ms end-to-end (was 421 ms in round 2);")
-md.append("the driver-local WAND core runs in 29 ms after the block-max")
-md.append("shallow-skip rewrite (was 126 ms).")
+md.append("candidate volumes ≤ graft.maxLocalWandPostings run block-max WAND")
+md.append("driver-local with a bounded hot-term block cache and a docId→url")
+md.append("cache → a WARM query is 0 Spark jobs, a cold one is 1 pruned scan")
+md.append("(+1 url lookup). Head-term queries above the gate take the")
+md.append("distributed path: repartition-by-bucket sized to min(buckets,")
+md.append("parallelism), per-bucket WAND, global top-k.")
+md.append("")
+md.append("## Larger corpus (4M docs): the single-disk ceiling (round-2 data)")
+md.append("")
+md.append("| cores | docs/sec | wall |")
+md.append("|---|---|---|")
+md.append("| 2 | 7,356 | 544 s |")
+md.append("| 8 | 9,262 | 432 s |")
+md.append("| 32 | 10,814 | 370 s |")
+md.append("")
+md.append("At 4M docs (7.5 GB corpus, 74M postings) every level converges")
+md.append("to 7–11k docs/sec: the posting shuffle+sort+write stages took")
+md.append("the SAME wall at 2 and 8 cores (lineage), i.e. the one VM disk")
+md.append("saturates and core count stops mattering. (Distinct from the 2M")
+md.append("4→16 story above, where the tmpfs control showed the disk was")
+md.append("NOT the limiter — at 4M it demonstrably is.) On a real N vs 4N")
+md.append("executor cluster, disks and memory bandwidth multiply with node")
+md.append("count — precisely what a single box cannot reproduce.")
 md.append("")
 md.append("## Pure-JVM hot-path scaling (graft.tools.ThreadScale, no Spark)")
 md.append("")
-md.append("After the round-2 allocation diet (thread-local Porter2 buffer,")
-md.append("fused stem+uppercase, streaming lexer, per-partition count-map")
-md.append("reuse), tokenize throughput at 10k docs/thread:")
+md.append("Round-2 measurement (lexer/stemmer unchanged since): tokenize")
+md.append("throughput at 10k docs/thread —")
 md.append("")
 md.append("| threads | docs/sec | scaling vs 4× fewer |")
 md.append("|---|---|---|")
@@ -266,23 +214,22 @@ md.append("| 2 | 7,331 | — |")
 md.append("| 8 | 32,359 | 1.10 (superlinear: JIT warm) |")
 md.append("| 32 | 114,403 | **0.88** |")
 md.append("")
-md.append("Round 1 measured 2.5× from 8→32 threads (0.62) on the same probe;")
-md.append("the tokenize/stem hot path itself now scales ≥ 0.88 to 32 threads.")
-md.append("")
 md.append("## Reference comparison")
 md.append("")
 md.append("The reference publishes no numbers (BASELINE.md). Its engine is")
 md.append("single-threaded, holds the whole index on one heap, and scores")
 md.append("EVERY document per query (model.rs:210-222); its JSON index is")
-md.append("typically LARGER than the corpus vs 9.4× smaller here.")
+md.append("typically LARGER than the corpus vs ~9× smaller here.")
 md.append("")
 md.append("## Correctness gates at these scales")
 md.append("")
 md.append("All rank-identity suites (400-doc oracle corpus, 40 combos + the")
-md.append("forced-distributed-expansion pass), incremental ≡ fresh rebuild,")
-md.append("resume, and the 2k-doc E2E CLI pass; posting counts are identical")
-md.append("at every parallelism level.")
+md.append("forced-distributed-expansion pass), incremental ≡ fresh rebuild")
+md.append("(merge-on-read deltas + tombstones + compaction), resume, empty")
+md.append("corpus, streaming ingest ≡ batch, and the 2k-doc E2E CLI pass;")
+md.append("posting counts are identical at every parallelism level.")
 
 out = "\n".join(md) + "\n"
 open("BENCH/BASELINE.md", "w").write(out)
-print(out)
+print(out[:800])
+print(f"... wrote BENCH/BASELINE.md ({len(out)} bytes)")
