@@ -36,27 +36,52 @@ object DeltaLog {
 
   def deltasPath(dir: String) = s"$dir/deltas"
   def seqPath(dir: String, seq: Int) = s"$dir/deltas/seq_$seq"
+  private def compactedMarker(dir: String) = s"$dir/deltas/_compacted"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed delta sequence numbers, ascending (a seq is committed once
-    * its `removed/` table exists — it is written LAST, so a crashed
-    * half-written delta is invisible and safely overwritten by the retry).
+  /** Highest seq folded into the base by [[Incremental.compact]]; seqs at
+    * or below it are invisible to readers even while their dirs await
+    * grace-period deletion (see [[clear]]).
+    */
+  def compactedThrough(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val p = new Path(compactedMarker(dir))
+    if (!f.exists(p)) return 0
+    val in = f.open(p)
+    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** Committed, uncompacted delta sequence numbers, ascending (a seq is
+    * committed once its `removed/` table exists — it is written LAST, so a
+    * crashed half-written delta is invisible and safely overwritten by the
+    * retry).
     */
   def listSeqs(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
     val p = new Path(deltasPath(dir))
     if (!f.exists(p)) return Nil
+    val floor = compactedThrough(spark, dir)
     f.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("seq_") => s.stripPrefix("seq_").toInt }
-      .filter(s => f.exists(new Path(s"${seqPath(dir, s)}/removed")))
+      .filter(s => s > floor &&
+        f.exists(new Path(s"${seqPath(dir, s)}/removed")))
       .sorted
   }
 
+  /** Monotonic across compactions: compacted dirs may still exist on disk
+    * pending grace-period deletion, so a reused seq number would make a
+    * fresh commit invisible (≤ compactedThrough). A crashed HALF-written
+    * delta keeps its seq (retry overwrites it in place).
+    */
   def nextSeq(spark: SparkSession, dir: String): Int =
-    listSeqs(spark, dir).lastOption.getOrElse(0) + 1
+    math.max(listSeqs(spark, dir).lastOption.getOrElse(0),
+      compactedThrough(spark, dir)) + 1
 
   /** (docId, tombSeq = max tombstone seq) — the small side of every
     * liveness join; None when the index has no deltas.
@@ -155,20 +180,20 @@ object DeltaLog {
       .parquet(seqs.map(s => s"${seqPath(dir, s)}/blocks"): _*))
   }
 
-  /** Commits one delta: postings + their encoded blocks + doc rows +
-    * tombstones. `removed/` is written last = the commit marker.
+  /** Writes one delta's DATA tables (postings + their encoded blocks +
+    * doc rows). NOT visible to readers until [[commitDelta]] writes the
+    * tombstone table; a crash in between leaves an invisible half-written
+    * dir that the retry overwrites.
     */
-  def writeDelta(
+  def writeDeltaData(
       spark: SparkSession,
       dir: String,
       seq: Int,
       postingsAdd: DataFrame,
       docsAdd: DataFrame,
-      tombstones: DataFrame, // docId column
       blockSize: Int,
       bucketSize: Long,
       parts: Int): Unit = {
-    import spark.implicits._
     val p = seqPath(dir, seq)
     postingsAdd.select("termId", "docId", "tf", "docLen")
       .withColumn("seq", lit(seq))
@@ -178,22 +203,54 @@ object DeltaLog {
         col("tf").cast("int").as("tf"), col("docLen").cast("int").as("docLen"))
       .repartitionByRange(parts, col("termId"), col("docId"))
       .sortWithinPartitions("termId", "docId")
-      .as[Posting]
-    sorted.mapPartitions(it => Blocks.encode(it, blockSize, bucketSize))
+      .as[Posting](org.apache.spark.sql.Encoders.product[Posting])
+    sorted.mapPartitions(it => Blocks.encode(it, blockSize, bucketSize))(
+        org.apache.spark.sql.Encoders.product[Schema.TermBlock])
       .withColumn("seq", lit(seq))
       .write.mode("overwrite").parquet(s"$p/blocks")
     docsAdd.select(docCols.map(col): _*)
       .withColumn("seq", lit(seq))
       .write.mode("overwrite").parquet(s"$p/docs")
-    tombstones.select(col("docId"))
-      .withColumn("seq", lit(seq))
-      .write.mode("overwrite").parquet(s"$p/removed")
   }
 
-  /** Drops all deltas (after compaction folded them into the base). */
-  def clear(spark: SparkSession, dir: String): Unit = {
+  /** COMMITS seq: `removed/` (tombstones) is written last — its existence
+    * IS the commit marker ([[listSeqs]]). Everything ordered after it in
+    * [[Incremental.update]] (terms/stats swap, meta) is reconstructible
+    * from durable state by [[Incremental.recover]].
+    */
+  def commitDelta(
+      spark: SparkSession,
+      dir: String,
+      seq: Int,
+      tombstones: DataFrame): Unit = // docId column
+    tombstones.select(col("docId"))
+      .withColumn("seq", lit(seq))
+      .write.mode("overwrite").parquet(s"${seqPath(dir, seq)}/removed")
+
+  /** Marks every current delta compacted — readers ignore them from the
+    * next [[listSeqs]] — and physically deletes compacted seq dirs only
+    * once they are older than `graceMs`: in-flight queries hold plans
+    * whose file listings were captured at read() time, so deleting under
+    * them throws FileNotFound mid-query. The displaced-handle grace in
+    * IndexHandles is 60 s; 120 s here strictly covers it. Dirs that are
+    * still young survive to the NEXT clear call (disk cost: one
+    * generation of deltas).
+    */
+  def clear(spark: SparkSession, dir: String, graceMs: Long = 120000L): Unit = {
     val f = fs(spark, dir)
     val p = new Path(deltasPath(dir))
-    if (f.exists(p)) f.delete(p, true)
+    if (!f.exists(p)) return
+    val all = f.listStatus(p).toSeq.filter(
+      _.getPath.getName.startsWith("seq_"))
+    val maxSeq = (compactedThrough(spark, dir) +: all.map(
+      _.getPath.getName.stripPrefix("seq_").toInt)).max
+    // marker first (atomic create-over): from here readers see no deltas
+    val out = f.create(new Path(compactedMarker(dir)), true)
+    out.write(maxSeq.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val now = System.currentTimeMillis()
+    all.filter(st => now - st.getModificationTime > graceMs)
+      .foreach(st => f.delete(st.getPath, true))
   }
 }

@@ -28,12 +28,18 @@ import Schema._
   *     ([[compact]]);
   *   - terms + stats are still rewritten whole: they are the O(vocabulary)
   *     and O(1) metadata tables, ~1000× smaller than postings — the delta
-  *     machinery would cost more than it saves there;
+  *     machinery would cost more than it saves there. They participate in
+  *     the commit protocol through VERSIONED side dirs (__v<seq>) swapped
+  *     in only after the commit marker, so a crash can never leave updated
+  *     df counts next to an invisible delta (which a retry would then
+  *     double-apply);
   *   - "save only if changed" (S9): an empty delta writes nothing.
   *
   * On Iceberg this maps to MERGE INTO / positional-delete files with
   * snapshot isolation; on plain parquet the delta commit is made atomic by
-  * writing the tombstone table last (= the commit marker).
+  * writing the tombstone table last (= the commit marker), with
+  * [[recover]] rolling a crashed commit's post-marker steps forward from
+  * durable state.
   */
 object Incremental {
 
@@ -58,6 +64,8 @@ object Incremental {
       purgeVanished: Boolean = true)
       : UpdateReport = {
     import spark.implicits._
+
+    recover(spark, indexDir) // roll forward any crashed commit first
 
     val docs = DeltaLog.docsView(spark, indexDir)
     val termsOld = spark.read.parquet(IndexBuilder.termsPath(indexDir))
@@ -229,21 +237,31 @@ object Incremental {
     val termsNewMat = termsNew.persist(StorageLevel.MEMORY_AND_DISK)
     val termCountNew = termsNewMat.count()
 
-    // ---- writes: terms + stats swapped whole; postings/blocks/docs as a
-    // sequenced merge-on-read delta (base files untouched) ---------------
-    writeTemp(spark, termsNewMat, IndexBuilder.termsPath(indexDir))
-    writeTemp(spark,
-      Seq(statsNew).toDF(), IndexBuilder.statsPath(indexDir))
-
+    // ---- writes (commit protocol; [[recover]] is its crash half):
+    //   1. delta DATA tables (postings/blocks/docs) — invisible until 3
+    //   2. terms/stats to VERSIONED side dirs (__v<seq>) — invisible
+    //   3. tombstone table = THE commit marker (DeltaLog.commitDelta)
+    //   4. swap the versioned terms/stats into place
+    //   5. meta refresh
+    // A crash before 3 leaves the old index fully intact (the retry
+    // recomputes everything from unchanged state and overwrites the
+    // orphans); a crash after 3 is rolled forward by recover() — so the
+    // old ordering's failure mode (terms swapped, delta invisible, retry
+    // double-applying df adjustments) cannot occur.
     val seq = DeltaLog.nextSeq(spark, indexDir)
-    DeltaLog.writeDelta(spark, indexDir, seq,
+    DeltaLog.writeDeltaData(spark, indexDir, seq,
       postingsAdd = postingsAdd,
       docsAdd = docsDelta.select($"docId", $"url", $"warc_ts", $"docLen"),
-      tombstones = affectedOld,
       blockSize = meta("blockSize").toInt,
       bucketSize = bucketSize,
       parts = math.max(1, math.min(4,
         conf.partitions / math.max(1, meta("postingGroups").toInt))))
+    termsNewMat.write.mode("overwrite")
+      .parquet(versionedPath(IndexBuilder.termsPath(indexDir), seq))
+    Seq(statsNew).toDF().write.mode("overwrite")
+      .parquet(versionedPath(IndexBuilder.statsPath(indexDir), seq))
+    DeltaLog.commitDelta(spark, indexDir, seq, tombstones = affectedOld)
+    swapVersioned(spark, indexDir, seq)
 
     // meta refresh: handle caches validate against meta.json, and the
     // driver-dict / cache sizing heuristics read these counts
@@ -266,8 +284,11 @@ object Incremental {
     // accumulated or tombstones grew past a fraction of the corpus -------
     val tombCount = DeltaLog.tombstonesDf(spark, indexDir)
       .map(_.count()).getOrElse(0L)
+    // seqs are monotonic ACROSS compactions (compacted dirs linger through
+    // the deletion grace), so the trigger counts visible uncompacted
+    // deltas, not the raw seq number
     val shouldCompact =
-      seq >= conf.deltaCompactEvery ||
+      DeltaLog.listSeqs(spark, indexDir).size >= conf.deltaCompactEvery ||
         tombCount > conf.tombstoneCompactFraction *
           math.max(1L, statsNew.docCount)
     if (shouldCompact) compact(spark, indexDir, conf)
@@ -291,10 +312,10 @@ object Incremental {
       indexDir: String,
       conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf()): Unit = {
     import spark.implicits._
+    recover(spark, indexDir) // a crashed commit must be rolled forward first
     if (DeltaLog.listSeqs(spark, indexDir).isEmpty) return
     val meta = IndexBuilder.readMeta(spark, indexDir)
     val g = meta("postingGroups").toInt
-    val bucketSize = math.max(1L, meta("bucketSize").toLong)
     val blockSize = meta("blockSize").toInt
     val perGroupParts = math.max(1, conf.partitions / g)
 
@@ -308,7 +329,24 @@ object Incremental {
       .persist(StorageLevel.MEMORY_AND_DISK)
     docsLive.count()
 
-    (0 until g).foreach { grp =>
+    // re-derive bucketSize from the LIVE docId range: an index
+    // bootstrapped from an empty snapshot carries a degenerate bucketSize
+    // (docCount was 0 → every posting its own block), and a corpus grown
+    // far past its build size needs coarser buckets. Compaction re-encodes
+    // every block anyway, so this is the free place to heal it — and the
+    // only safe one: bucketSize must be uniform across all blocks WAND
+    // aligns, which holds exactly when base is rewritten and deltas
+    // cleared together.
+    val queryBuckets = meta.get("queryBuckets").map(_.toInt)
+      .getOrElse(conf.queryBuckets)
+    val maxDocId = docsLive.agg(coalesce(max($"docId"), lit(0L)))
+      .as[Long].head()
+    val bucketSize =
+      math.max(1L, (maxDocId + queryBuckets) / queryBuckets)
+
+    // groups are independent — rewrite + re-encode them concurrently,
+    // like the build does
+    IndexBuilder.runConcurrently((0 until g).map(grp => () => {
       val newGrp = live
         .filter(pmod($"termId", lit(g)) === grp)
         .repartitionByRange(perGroupParts, $"termId", $"docId")
@@ -323,10 +361,13 @@ object Incremental {
       writeTemp(spark, blocks.toDF(),
         s"${IndexBuilder.blocksPath(indexDir)}/group=$grp")
       newGrp.unpersist()
-    }
+      ()
+    }))
     writeTemp(spark, docsLive, IndexBuilder.docsPath(indexDir))
     DeltaLog.clear(spark, indexDir)
-    IndexBuilder.updateMeta(spark, indexDir, Map("deltaSeq" -> "0"))
+    IndexBuilder.updateMeta(spark, indexDir, Map(
+      "deltaSeq" -> DeltaLog.compactedThrough(spark, indexDir).toString,
+      "bucketSize" -> bucketSize.toString))
     live.unpersist()
     docsLive.unpersist()
     graft.query.IndexHandles.invalidate(indexDir)
@@ -344,8 +385,85 @@ object Incremental {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dest + "__tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
-    val destPath = new org.apache.hadoop.fs.Path(dest)
-    if (fs.exists(destPath)) fs.delete(destPath, true)
-    fs.rename(tmp, destPath)
+    swapInto(fs, tmp, new org.apache.hadoop.fs.Path(dest))
+  }
+
+  private def versionedPath(dest: String, seq: Int): String =
+    s"${dest}__v$seq"
+
+  private def swapInto(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.rename(src, dest)
+  }
+
+  /** Step 4 of the commit protocol: move the seq's versioned terms/stats
+    * into place. Idempotent — a missing versioned dir means that table was
+    * already swapped.
+    */
+  private def swapVersioned(
+      spark: SparkSession, indexDir: String, seq: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(IndexBuilder.termsPath(indexDir), IndexBuilder.statsPath(indexDir))
+      .foreach { dest =>
+        val v = new org.apache.hadoop.fs.Path(versionedPath(dest, seq))
+        if (fs.exists(v)) swapInto(fs, v, new org.apache.hadoop.fs.Path(dest))
+      }
+  }
+
+  /** Crash half of the delta commit protocol: rolls a crashed update
+    * forward (or discards its invisible leftovers). For every versioned
+    * terms/stats dir found:
+    *   - seq COMMITTED (its tombstone table exists) → finish the swap and
+    *     rebuild the meta counts from durable tables;
+    *   - seq uncommitted → delete the orphan (the crash happened before
+    *     the marker; the retry recomputes from the unchanged old state).
+    * No-op (one glob) when nothing is pending. Called from update() and
+    * compact(); single-writer per index dir, like all maintenance here.
+    */
+  def recover(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pendingSeqs = Seq(
+      IndexBuilder.termsPath(indexDir), IndexBuilder.statsPath(indexDir))
+      .flatMap { dest =>
+        val glob = new org.apache.hadoop.fs.Path(dest + "__v*")
+        fs.globStatus(glob).toSeq.map(_.getPath.getName)
+          .flatMap(n => n.split("__v").lastOption)
+          .flatMap(s => scala.util.Try(s.toInt).toOption)
+      }.distinct.sorted
+    if (pendingSeqs.isEmpty) return
+    val committed = DeltaLog.listSeqs(spark, indexDir).toSet
+    var swapped = false
+    pendingSeqs.foreach { s =>
+      if (committed(s)) {
+        swapVersioned(spark, indexDir, s)
+        swapped = true
+      } else {
+        Seq(IndexBuilder.termsPath(indexDir),
+          IndexBuilder.statsPath(indexDir)).foreach { dest =>
+          val v = new org.apache.hadoop.fs.Path(versionedPath(dest, s))
+          if (fs.exists(v)) fs.delete(v, true)
+        }
+      }
+    }
+    if (swapped) {
+      import spark.implicits._
+      val statsRow = spark.read.parquet(IndexBuilder.statsPath(indexDir))
+        .as[Stats].collect()(0)
+      val termCount =
+        spark.read.parquet(IndexBuilder.termsPath(indexDir)).count()
+      val postingCount = DeltaLog.postingsView(spark, indexDir).count()
+      IndexBuilder.updateMeta(spark, indexDir, Map(
+        "docCount" -> statsRow.docCount.toString,
+        "totalTokens" -> statsRow.totalTokens.toString,
+        "termCount" -> termCount.toString,
+        "postingCount" -> postingCount.toString,
+        "deltaSeq" -> DeltaLog.listSeqs(spark, indexDir).last.toString))
+      graft.query.IndexHandles.invalidate(indexDir)
+    }
   }
 }

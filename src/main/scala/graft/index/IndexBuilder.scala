@@ -53,7 +53,7 @@ object IndexBuilder {
     * sequentially (this fixed tail was the main Amdahl drag on N→4N
     * scaling). Rethrows the first failure.
     */
-  private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+  private[index] def runConcurrently(tasks: Seq[() => Unit]): Unit = {
     if (tasks.size <= 1) { tasks.foreach(_()); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
     try {
@@ -396,7 +396,12 @@ object IndexBuilder {
     val metrics = BuildMetrics(conf.buildId, 0L, 0L, 0L, 0L, 0.0, wallMs,
       0.0, 0L, 0.0)
     DeltaLog.clear(spark, indexDir)
-    writeMeta(spark, indexDir, conf, bucketSize = 1L, metrics)
+    // NOT bucketSize=1: every delta encodes blocks with meta's bucketSize,
+    // and docCount 0 would degenerate a streaming-bootstrapped index to
+    // one-posting-per-block until the first compaction heals it. 2^20 docs
+    // per bucket is a sane coarse default for a growing index; compact()
+    // re-derives the exact value from the live docId range.
+    writeMeta(spark, indexDir, conf, bucketSize = 1L << 20, metrics)
     graft.query.IndexHandles.invalidate(indexDir)
     metrics
   }

@@ -167,7 +167,13 @@ final class IndexHandles private (
   def candidateBlocks(
       termIds: Seq[Long]): Array[(Int, graft.index.Schema.TermBlock)] = {
     import spark.implicits._
-    val (hits, misses) = termIds.partition(blockCache.contains)
+    // read hit ARRAYS first, not just membership: an eviction between a
+    // contains() check and the later read (by this query's own insert
+    // pass, or any concurrent query) would silently drop a term's blocks
+    // from the query — a wrong-top-k bug, not a slow path
+    val hitArrays: Map[Long, Array[(Int, graft.index.Schema.TermBlock)]] =
+      termIds.iterator.flatMap(t => blockCache.get(t).map(t -> _)).toMap
+    val misses = termIds.filterNot(hitArrays.contains)
     val fetched: Array[(Int, graft.index.Schema.TermBlock)] =
       if (misses.isEmpty) Array.empty
       else blocksFor(misses)
@@ -182,10 +188,14 @@ final class IndexHandles private (
       val byTerm = fetched.groupBy(_._2.termId)
       misses.foreach { t =>
         val bs = byTerm.getOrElse(t, Array.empty)
-        val n = bs.iterator.map(_._2.n.toLong).sum
-        blockCachePostings.addAndGet(n)
-        blockCache.put(t, bs)
-        blockCacheOrder.add(t)
+        // putIfAbsent: a concurrent query may have inserted t already —
+        // counting both inserts would inflate the postings counter
+        // forever (evictions subtract each term once), silently shrinking
+        // the effective cache toward zero
+        if (blockCache.putIfAbsent(t, bs).isEmpty) {
+          blockCachePostings.addAndGet(bs.iterator.map(_._2.n.toLong).sum)
+          blockCacheOrder.add(t)
+        }
       }
       while (blockCachePostings.get() > blockCacheCap &&
           !blockCacheOrder.isEmpty) {
@@ -194,7 +204,7 @@ final class IndexHandles private (
           blockCachePostings.addAndGet(-bs.iterator.map(_._2.n.toLong).sum))
       }
     }
-    hits.iterator.flatMap(t => blockCache.getOrElse(t, Array.empty))
+    termIds.iterator.flatMap(t => hitArrays.getOrElse(t, Array.empty))
       .toArray ++ fetched
   }
 
@@ -223,7 +233,15 @@ final class IndexHandles private (
     docIds.iterator.flatMap(id => urlCache.get(id).map(id -> _)).toMap
   }
 
-  /** Live candidate postings (liveness applied): the naive-scorer input. */
+  /** Live candidate postings (liveness applied): the naive-scorer input.
+    *
+    * Deliberately NOT DeltaLog.withLiveness: that re-reads tombstones from
+    * disk per call, while a handle must apply the liveness rule with the
+    * SAME (deltaSeqs, tombDf) snapshot it was created with — otherwise a
+    * concurrent commit could pair new tombstones with an old layer list
+    * mid-query. Keep the rule itself (`_seq >= coalesce(tombSeq, 0)`)
+    * textually identical to DeltaLog.withLiveness when touching either.
+    */
   def postingsFor(termIds: Seq[Long]): DataFrame = {
     val cols = Seq("termId", "docId", "tf", "docLen")
     val base = pruned(postingsDf, termIds)
@@ -276,12 +294,26 @@ object IndexHandles {
         t
       })
 
-  private def deferRelease(h: IndexHandles): Unit =
+  // at most ONE displaced handle per indexDir waits out the grace period:
+  // at streaming commit rates (one delta per micro-batch) unbounded
+  // deferrals would pin dozens of dead generations' persisted tables and
+  // evict the live handle's cache. Displacing another handle releases the
+  // previously-waiting one immediately.
+  private val pendingRelease = TrieMap.empty[String, IndexHandles]
+
+  private def deferRelease(dir: String, h: IndexHandles): Unit = {
+    pendingRelease.put(dir, h).foreach(prev =>
+      try prev.release()
+      catch { case _: Throwable => () }) // session may already be stopped
     reaper.schedule(new Runnable {
       def run(): Unit =
-        try h.release()
-        catch { case _: Throwable => () } // session may already be stopped
+        // only if still the pending one — a newer displacement may have
+        // released it already (remove(k, v) is the compare-and-remove)
+        if (pendingRelease.remove(dir, h))
+          try h.release()
+          catch { case _: Throwable => () }
     }, 60, java.util.concurrent.TimeUnit.SECONDS)
+  }
 
   /** Cached handle, validated against the CURRENT meta.json: any rebuild or
     * delta commit (deltaSeq/wallMs make every index version's meta
@@ -301,7 +333,7 @@ object IndexHandles {
         case stale =>
           val h = new IndexHandles(spark, indexDir)
           cache.put(indexDir, h)
-          stale.foreach(deferRelease)
+          stale.foreach(deferRelease(indexDir, _))
           h
       }
     }
@@ -309,5 +341,5 @@ object IndexHandles {
 
   /** Drop cached state (call after incremental updates rewrite tables). */
   def invalidate(indexDir: String): Unit =
-    cache.remove(indexDir).foreach(deferRelease)
+    cache.remove(indexDir).foreach(deferRelease(indexDir, _))
 }

@@ -310,4 +310,110 @@ class IncrementalSpec extends AnyFunSuite {
     val report2 = Incremental.update(spark, df(v2), updatedDir, conf)
     assert(!report2.changed)
   }
+
+  private def hfs(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val f = hfs(src)
+    org.apache.hadoop.fs.FileUtil.copy(
+      f, new org.apache.hadoop.fs.Path(src),
+      f, new org.apache.hadoop.fs.Path(dst),
+      false, spark.sparkContext.hadoopConfiguration)
+  }
+
+  private def moveDir(src: String, dst: String): Unit = {
+    val f = hfs(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    if (f.exists(d)) f.delete(d, true)
+    f.rename(new org.apache.hadoop.fs.Path(src), d)
+  }
+
+  test("recover() rolls a crash-after-commit-marker forward: terms/stats " +
+      "swap completed, meta rebuilt, retry is a no-change no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crash_fwd_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    val termsP = IndexBuilder.termsPath(dir)
+    val statsP = IndexBuilder.statsPath(dir)
+    // keep the PRE-update terms/stats aside, then update normally
+    copyDir(termsP, s"$dir/terms_preupdate")
+    copyDir(statsP, s"$dir/stats_preupdate")
+    val report = Incremental.update(spark, df(v2), dir, conf)
+    assert(report.changed)
+    val seq = DeltaLog.listSeqs(spark, dir).last
+    val expectedTerms = spark.read.parquet(termsP)
+      .select($"term", $"df").as[(String, Long)].collect().toSet
+    val expectedStats = spark.read.parquet(statsP)
+      .as[Schema.Stats].head()
+    // reconstruct the crash state: marker committed, but terms/stats not
+    // yet swapped (live tables are still the pre-update versions, the new
+    // versions sit in the __v<seq> side dirs) and meta still stale
+    moveDir(termsP, s"${termsP}__v$seq")
+    moveDir(statsP, s"${statsP}__v$seq")
+    moveDir(s"$dir/terms_preupdate", termsP)
+    moveDir(s"$dir/stats_preupdate", statsP)
+    IndexBuilder.updateMeta(spark, dir, Map("docCount" -> "-1"))
+
+    Incremental.recover(spark, dir)
+
+    assert(!hfs(dir).exists(
+      new org.apache.hadoop.fs.Path(s"${termsP}__v$seq")))
+    assert(spark.read.parquet(termsP)
+      .select($"term", $"df").as[(String, Long)].collect().toSet ==
+      expectedTerms)
+    assert(spark.read.parquet(statsP).as[Schema.Stats].head() ==
+      expectedStats)
+    val meta = IndexBuilder.readMeta(spark, dir)
+    assert(meta("docCount").toLong == expectedStats.docCount)
+    assert(meta("deltaSeq").toInt == seq)
+    // the interrupted update's retry now sees a consistent state: nothing
+    // stale → no change, no double-applied df
+    assert(!Incremental.update(spark, df(v2), dir, conf).changed)
+  }
+
+  test("recover() discards versioned dirs of an UNcommitted seq " +
+      "(crash before the marker leaves the old index intact)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crash_back_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    val termsP = IndexBuilder.termsPath(dir)
+    val before = spark.read.parquet(termsP)
+      .select($"term", $"df").as[(String, Long)].collect().toSet
+    copyDir(termsP, s"${termsP}__v99") // orphan: seq 99 never committed
+    Incremental.recover(spark, dir)
+    assert(!hfs(dir).exists(new org.apache.hadoop.fs.Path(s"${termsP}__v99")))
+    assert(spark.read.parquet(termsP)
+      .select($"term", $"df").as[(String, Long)].collect().toSet == before)
+  }
+
+  test("delta seqs stay monotonic across compaction; compacted dirs are " +
+      "invisible and the compaction trigger counts visible deltas only") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_monotonic_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    // update 1 compacts immediately (deltaCompactEvery = 1)
+    assert(Incremental.update(spark, df(v2), dir,
+      conf.copy(deltaCompactEvery = 1)).compacted)
+    val through = DeltaLog.compactedThrough(spark, dir)
+    assert(through >= 1)
+    assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+    // update 2 (one edited doc) must take a seq ABOVE the compacted range
+    // (its dirs may still exist pending grace deletion) and must NOT
+    // auto-compact under a loose threshold
+    val v3 = v2.map { p =>
+      if (p.url == v2.head.url)
+        p.copy(text = "entirely new monotonic content opengl",
+          html = null, warc_ts = later(p.warc_ts))
+      else p
+    }
+    val r3 = Incremental.update(spark, df(v3), dir,
+      conf.copy(deltaCompactEvery = 5))
+    assert(r3.changed && !r3.compacted)
+    assert(DeltaLog.listSeqs(spark, dir) == Seq(through + 1))
+    // and the new delta is actually served
+    val hits = Search.searchTop(spark, dir, "monotonic", Search.Bm25, 10)
+      .select($"url").as[String].collect()
+    assert(hits.contains(v2.head.url))
+  }
 }
