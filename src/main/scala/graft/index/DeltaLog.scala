@@ -44,6 +44,12 @@ object DeltaLog {
   /** Highest seq folded into the base by [[Incremental.compact]]; seqs at
     * or below it are invisible to readers even while their dirs await
     * grace-period deletion (see [[clear]]).
+    *
+    * A missing, empty, or garbage marker reads as 0 — that is SAFE, not
+    * just lenient: re-exposing folded deltas over the folded base yields
+    * the identical live view (each affected doc's tombstone kills the
+    * folded layer-0 rows and its delta rows re-supply the same content),
+    * so a marker lost to a crash degrades read cost, never correctness.
     */
   def compactedThrough(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
@@ -53,7 +59,8 @@ object DeltaLog {
     val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
     in.readFully(bytes)
     in.close()
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    scala.util.Try(new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).getOrElse(0)
   }
 
   /** Committed, uncompacted delta sequence numbers, ascending (a seq is
@@ -228,13 +235,14 @@ object DeltaLog {
       .write.mode("overwrite").parquet(s"${seqPath(dir, seq)}/removed")
 
   /** Marks every current delta compacted — readers ignore them from the
-    * next [[listSeqs]] — and physically deletes compacted seq dirs only
-    * once they are older than `graceMs`: in-flight queries hold plans
-    * whose file listings were captured at read() time, so deleting under
-    * them throws FileNotFound mid-query. The displaced-handle grace in
-    * IndexHandles is 60 s; 120 s here strictly covers it. Dirs that are
-    * still young survive to the NEXT clear call (disk cost: one
-    * generation of deltas).
+    * next [[listSeqs]] — and physically deletes only the dirs made
+    * invisible by a PREVIOUS compaction at least `graceMs` ago: the grace
+    * is measured from when a dir stopped being readable (the previous
+    * marker's mtime), never from the dir's own commit time, so in-flight
+    * queries whose plans captured the old file listing (the displaced-
+    * handle grace in IndexHandles is 60 s) cannot have those files deleted
+    * under them. Dirs compacted just now always survive to the NEXT clear
+    * call (disk cost: one generation of deltas).
     */
   def clear(spark: SparkSession, dir: String, graceMs: Long = 120000L): Unit = {
     val f = fs(spark, dir)
@@ -242,15 +250,27 @@ object DeltaLog {
     if (!f.exists(p)) return
     val all = f.listStatus(p).toSeq.filter(
       _.getPath.getName.startsWith("seq_"))
-    val maxSeq = (compactedThrough(spark, dir) +: all.map(
+    val prevFloor = compactedThrough(spark, dir)
+    val marker = new Path(compactedMarker(dir))
+    val prevMarkerAgeMs: Long =
+      if (f.exists(marker))
+        System.currentTimeMillis() - f.getFileStatus(marker)
+          .getModificationTime
+      else Long.MinValue // no earlier compaction → nothing is deletable yet
+    val maxSeq = (prevFloor +: all.map(
       _.getPath.getName.stripPrefix("seq_").toInt)).max
-    // marker first (atomic create-over): from here readers see no deltas
-    val out = f.create(new Path(compactedMarker(dir)), true)
+    // marker via temp + rename — an in-place overwrite has a truncated-
+    // content window that would read as garbage (and the fallback-0 read,
+    // while safe, would resurrect read cost)
+    val tmp = new Path(compactedMarker(dir) + ".tmp")
+    val out = f.create(tmp, true)
     out.write(maxSeq.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    val now = System.currentTimeMillis()
-    all.filter(st => now - st.getModificationTime > graceMs)
-      .foreach(st => f.delete(st.getPath, true))
+    if (f.exists(marker)) f.delete(marker, false)
+    f.rename(tmp, marker)
+    if (prevMarkerAgeMs > graceMs)
+      all.filter(_.getPath.getName.stripPrefix("seq_").toInt <= prevFloor)
+        .foreach(st => f.delete(st.getPath, true))
   }
 }

@@ -66,6 +66,13 @@ object Incremental {
     import spark.implicits._
 
     recover(spark, indexDir) // roll forward any crashed commit first
+    // a compaction interrupted mid-fold (intent present, deltas still
+    // visible) must finish before this update writes new delta blocks —
+    // they would otherwise encode with the pre-compaction bucketSize while
+    // some base groups already carry the new one
+    if (readCompactingIntent(spark, indexDir).isDefined &&
+        DeltaLog.listSeqs(spark, indexDir).nonEmpty)
+      compact(spark, indexDir, conf)
 
     val docs = DeltaLog.docsView(spark, indexDir)
     val termsOld = spark.read.parquet(IndexBuilder.termsPath(indexDir))
@@ -336,13 +343,20 @@ object Incremental {
     // every block anyway, so this is the free place to heal it — and the
     // only safe one: bucketSize must be uniform across all blocks WAND
     // aligns, which holds exactly when base is rewritten and deltas
-    // cleared together.
-    val queryBuckets = meta.get("queryBuckets").map(_.toInt)
-      .getOrElse(conf.queryBuckets)
-    val maxDocId = docsLive.agg(coalesce(max($"docId"), lit(0L)))
-      .as[Long].head()
-    val bucketSize =
-      math.max(1L, (maxDocId + queryBuckets) / queryBuckets)
+    // cleared together. The chosen value is durably recorded as a
+    // _compacting INTENT before any base file changes: a crashed
+    // compaction restarts (same value, idempotent fold) instead of leaving
+    // some groups encoded with the new bucketSize while meta still
+    // advertises the old one to future delta writers.
+    val bucketSize = readCompactingIntent(spark, indexDir).getOrElse {
+      val queryBuckets = meta.get("queryBuckets").map(_.toInt)
+        .getOrElse(conf.queryBuckets)
+      val maxDocId = docsLive.agg(coalesce(max($"docId"), lit(0L)))
+        .as[Long].head()
+      val b = math.max(1L, (maxDocId + queryBuckets) / queryBuckets)
+      writeCompactingIntent(spark, indexDir, b)
+      b
+    }
 
     // groups are independent — rewrite + re-encode them concurrently,
     // like the build does
@@ -368,10 +382,51 @@ object Incremental {
     IndexBuilder.updateMeta(spark, indexDir, Map(
       "deltaSeq" -> DeltaLog.compactedThrough(spark, indexDir).toString,
       "bucketSize" -> bucketSize.toString))
+    dropCompactingIntent(spark, indexDir)
     live.unpersist()
     docsLive.unpersist()
     graft.query.IndexHandles.invalidate(indexDir)
   }
+
+  private def compactingIntentPath(dir: String) = s"$dir/_compacting"
+
+  private[index] def readCompactingIntent(
+      spark: SparkSession, indexDir: String): Option[Long] = {
+    val f = hadoopFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(compactingIntentPath(indexDir))
+    if (!f.exists(p)) return None
+    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    in.readFully(bytes)
+    in.close()
+    scala.util.Try(new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+  }
+
+  private[index] def writeCompactingIntent(
+      spark: SparkSession, indexDir: String, bucketSize: Long): Unit = {
+    val f = hadoopFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(compactingIntentPath(indexDir))
+    val tmp = new org.apache.hadoop.fs.Path(
+      compactingIntentPath(indexDir) + ".tmp")
+    val out = f.create(tmp, true)
+    out.write(bucketSize.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  private def dropCompactingIntent(
+      spark: SparkSession, indexDir: String): Unit = {
+    val f = hadoopFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(compactingIntentPath(indexDir))
+    if (f.exists(p)) f.delete(p, false)
+  }
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Overwrite a table that the plan also READS: stage to a sibling temp
     * dir, then swap (parquet has no snapshot isolation — Iceberg would
@@ -425,8 +480,7 @@ object Incremental {
     * compact(); single-writer per index dir, like all maintenance here.
     */
   def recover(spark: SparkSession, indexDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(spark, indexDir)
     val pendingSeqs = Seq(
       IndexBuilder.termsPath(indexDir), IndexBuilder.statsPath(indexDir))
       .flatMap { dest =>
@@ -435,8 +489,8 @@ object Incremental {
           .flatMap(n => n.split("__v").lastOption)
           .flatMap(s => scala.util.Try(s.toInt).toOption)
       }.distinct.sorted
-    if (pendingSeqs.isEmpty) return
-    val committed = DeltaLog.listSeqs(spark, indexDir).toSet
+    val visible = DeltaLog.listSeqs(spark, indexDir)
+    val committed = visible.toSet
     var swapped = false
     pendingSeqs.foreach { s =>
       if (committed(s)) {
@@ -450,7 +504,14 @@ object Incremental {
         }
       }
     }
-    if (swapped) {
+    // a crash BETWEEN the swap and the meta refresh leaves no __v dirs
+    // behind — detect it by deltaSeq drift (meta advertises an older
+    // version than the last committed delta) and rebuild meta the same way
+    val metaDrift = visible.nonEmpty &&
+      IndexBuilder.readMeta(spark, indexDir)
+        .get("deltaSeq").flatMap(s =>
+          scala.util.Try(s.toInt).toOption).getOrElse(0) < visible.last
+    if (swapped || metaDrift) {
       import spark.implicits._
       val statsRow = spark.read.parquet(IndexBuilder.statsPath(indexDir))
         .as[Stats].collect()(0)
@@ -462,8 +523,23 @@ object Incremental {
         "totalTokens" -> statsRow.totalTokens.toString,
         "termCount" -> termCount.toString,
         "postingCount" -> postingCount.toString,
-        "deltaSeq" -> DeltaLog.listSeqs(spark, indexDir).last.toString))
+        "deltaSeq" -> visible.last.toString))
       graft.query.IndexHandles.invalidate(indexDir)
+    }
+    // a compaction that crashed AFTER folding + clearing but BEFORE its
+    // meta refresh: no deltas remain, the intent still holds the
+    // bucketSize every rewritten block was encoded with — finish the meta
+    // and drop the intent. (An intent WITH deltas still visible means the
+    // fold itself was interrupted; update()/compact() restart it.)
+    readCompactingIntent(spark, indexDir) match {
+      case Some(b) if DeltaLog.listSeqs(spark, indexDir).isEmpty =>
+        IndexBuilder.updateMeta(spark, indexDir, Map(
+          "bucketSize" -> b.toString,
+          "deltaSeq" ->
+            DeltaLog.compactedThrough(spark, indexDir).toString))
+        dropCompactingIntent(spark, indexDir)
+        graft.query.IndexHandles.invalidate(indexDir)
+      case _ => ()
     }
   }
 }

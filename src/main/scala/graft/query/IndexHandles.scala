@@ -294,24 +294,34 @@ object IndexHandles {
         t
       })
 
-  // at most ONE displaced handle per indexDir waits out the grace period:
-  // at streaming commit rates (one delta per micro-batch) unbounded
-  // deferrals would pin dozens of dead generations' persisted tables and
-  // evict the live handle's cache. Displacing another handle releases the
-  // previously-waiting one immediately.
-  private val pendingRelease = TrieMap.empty[String, IndexHandles]
+  // displaced handles wait out the full 60 s grace before their caches
+  // are released (in-flight queries may still hold them — releasing early
+  // un-persists tables whose backing files a swap has since replaced).
+  // The waiting set is BOUNDED per dir: past 8 generations (pathological
+  // commit rates) the oldest is force-released, trading its stragglers'
+  // recompute risk for bounded executor storage — at normal rates nothing
+  // is ever released before its grace elapses.
+  private val pendingRelease = TrieMap
+    .empty[String, scala.collection.mutable.ArrayDeque[IndexHandles]]
 
   private def deferRelease(dir: String, h: IndexHandles): Unit = {
-    pendingRelease.put(dir, h).foreach(prev =>
-      try prev.release()
-      catch { case _: Throwable => () }) // session may already be stopped
+    def releaseQuietly(x: IndexHandles): Unit =
+      try x.release()
+      catch { case _: Throwable => () } // session may already be stopped
+    val q = pendingRelease.getOrElseUpdate(
+      dir, scala.collection.mutable.ArrayDeque.empty)
+    q.synchronized {
+      q.append(h)
+      while (q.size > 8) releaseQuietly(q.removeHead())
+    }
     reaper.schedule(new Runnable {
-      def run(): Unit =
-        // only if still the pending one — a newer displacement may have
-        // released it already (remove(k, v) is the compare-and-remove)
-        if (pendingRelease.remove(dir, h))
-          try h.release()
-          catch { case _: Throwable => () }
+      def run(): Unit = {
+        val stillPending = q.synchronized {
+          val i = q.indexOf(h)
+          if (i >= 0) { q.remove(i); true } else false
+        }
+        if (stillPending) releaseQuietly(h)
+      }
     }, 60, java.util.concurrent.TimeUnit.SECONDS)
   }
 

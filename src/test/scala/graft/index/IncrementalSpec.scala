@@ -387,6 +387,42 @@ class IncrementalSpec extends AnyFunSuite {
       .select($"term", $"df").as[(String, Long)].collect().toSet == before)
   }
 
+  test("recover() rebuilds meta after a crash between terms swap and the " +
+      "meta refresh (no __v dirs left; detected by deltaSeq drift)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crash_meta_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    Incremental.update(spark, df(v2), dir, conf)
+    val good = IndexBuilder.readMeta(spark, dir)
+    // crash state: the commit and swap landed, meta did not
+    IndexBuilder.updateMeta(spark, dir,
+      Map("deltaSeq" -> "0", "docCount" -> "-1"))
+    Incremental.recover(spark, dir)
+    val fixed = IndexBuilder.readMeta(spark, dir)
+    assert(fixed("deltaSeq") == good("deltaSeq"))
+    assert(fixed("docCount") == good("docCount"))
+    assert(fixed("postingCount").toLong > 0)
+  }
+
+  test("recover() finishes a compaction that crashed before its meta " +
+      "refresh (intent present, no visible deltas)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crash_compact_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    Incremental.update(spark, df(v2), dir, conf.copy(deltaCompactEvery = 1))
+    assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+    // crash state: groups re-encoded with intent bucketSize, meta stale
+    Incremental.writeCompactingIntent(spark, dir, 999L)
+    IndexBuilder.updateMeta(spark, dir,
+      Map("bucketSize" -> "7", "deltaSeq" -> "0"))
+    Incremental.recover(spark, dir)
+    val meta = IndexBuilder.readMeta(spark, dir)
+    assert(meta("bucketSize").toLong == 999L)
+    assert(meta("deltaSeq").toInt ==
+      DeltaLog.compactedThrough(spark, dir))
+    assert(Incremental.readCompactingIntent(spark, dir).isEmpty)
+  }
+
   test("delta seqs stay monotonic across compaction; compacted dirs are " +
       "invisible and the compaction trigger counts visible deltas only") {
     val dir = java.nio.file.Files
