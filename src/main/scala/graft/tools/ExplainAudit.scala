@@ -37,6 +37,19 @@ object ExplainAudit {
     dump("dedup exact (expect partial/final hash agg)",
       Dedup.exact(spark, sfDir))
 
+    // the >1M-term serving path: driver dict disabled → exact lookups go
+    // through the DISTRIBUTED dictionary scan. This frame mirrors
+    // Search.plan's exactPart filter (Search.scala) — expect PushedFilters
+    // In(tlen) + In(term) over the (tlen, term)-clustered dictionary =
+    // free parquet row-group pruning.
+    import org.apache.spark.sql.functions.col
+    dump("exact-token dictionary lookup, distributed branch " +
+      "(expect In(tlen)+In(term) as parquet PushedFilters, or as " +
+      "InMemoryTableScan predicates — cache-batch-stat pruning — when " +
+      "the handle has the dictionary persisted)",
+      h.terms.filter(col("tlen").isin(4, 5) &&
+        col("term").isin("DATA", "QUERI")))
+
     spark.stop()
   }
 }
