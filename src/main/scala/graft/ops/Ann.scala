@@ -67,31 +67,11 @@ object Ann {
       spark: SparkSession,
       sfDir: String,
       planes: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    import spark.implicits._
-    val dim = 64
-    val hp = hyperplanes(dim, planes, seed)
-    val bHp = spark.sparkContext.broadcast(hp)
-    emb(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        var sig = 0L
-        var p = 0
-        val hps = bHp.value
-        while (p < hps.length) {
-          var s = 0.0
-          var i = 0
-          val h = hps(p)
-          val n = math.min(h.length, v.length)
-          while (i < n) { s += h(i) * v(i); i += 1 }
-          if (s >= 0) sig |= (1L << p)
-          p += 1
-        }
-        (id, sig)
-      }
-      .toDF("vec_id", "sig")
-  }
+      seed: Long = 42L): DataFrame =
+    // exactly the tables = 1 slice of tableSignatures (table 0 uses
+    // hyperplanes(dim, planes, seed + 0)) — one sign-bit loop to maintain
+    tableSignatures(spark, sfDir, planes, tables = 1, seed)
+      .select(col("vec_id"), col("sig"))
 
   /** LSH-bucketed ANN: candidates share the query's signature in ≥1 of
     * `tables` independent hash tables; exact cosine re-ranks candidates.

@@ -32,8 +32,16 @@ object Corpus {
   /** Stable per-sf index location; build skips entirely when meta.json
     * already exists (all stages checkpointed).
     */
-  def indexDirFor(sfDir: String): String =
-    "/tmp/graft_idx_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+  def indexDirFor(sfDir: String): String = {
+    // the readable sanitization is LOSSY ("/a/sf-1" and "/a/sf_1" collide)
+    // and a collision silently serves the wrong prebuilt index — suffix a
+    // hash of the raw path to make the mapping injective
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"/tmp/graft_idx_${safe}_$digest"
+  }
 
   def ensureIndex(spark: SparkSession, sfDir: String): String = {
     val dir = indexDirFor(sfDir)

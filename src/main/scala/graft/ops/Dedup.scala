@@ -91,6 +91,10 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.7): DataFrame = LiveResultCache.getOrCompute(
     "minhash", s"$sfDir|$numHashes|$bands|$threshold") {
+    // integer-divided rows would silently exclude the tail hashes from
+    // banding while est_jaccard still divides by the full numHashes
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     // banding only ever saw docs with ≥3 tokens (shingle minimum); keep
     // the group universe identical so tiny exact-dups stay excluded
@@ -235,6 +239,11 @@ object Dedup {
       sfDir: String,
       maxDist: Int = 3): DataFrame = LiveResultCache.getOrCompute(
     "simhash", s"$sfDir|$maxDist") {
+    // pigeonhole over the fixed 4×16-bit chunk banding: ≤3 differing bits
+    // guarantee one identical chunk; maxDist ≥ 4 would silently lose
+    // qualifying pairs (a pair can differ in every chunk)
+    require(maxDist <= 3,
+      s"maxDist ($maxDist) must be ≤ 3 for 4-chunk simhash banding")
     // same duplicate-cluster hardening as minhashPairs: identical texts
     // have identical simhashes and agree on all 4 chunks, so chunk-band
     // only one representative per md5(text) group and re-expand after

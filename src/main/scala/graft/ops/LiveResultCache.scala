@@ -22,6 +22,11 @@ private[ops] object LiveResultCache {
   private final case class Entry(inputKey: String, frames: Seq[DataFrame])
   private val live =
     scala.collection.concurrent.TrieMap.empty[String, Entry]
+  // getOrCompute serializes per op: without it two concurrent misses both
+  // build corpus-sized frame sets, and the loser's same-key finish() would
+  // skip unpersisting the winner's set — a permanent cache leak
+  private val opLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Returns the op's memoized result DataFrame when the key matches the
     * live entry — same object, so actions read the existing cached blocks
@@ -34,11 +39,13 @@ private[ops] object LiveResultCache {
     */
   def getOrCompute(op: String, inputKey: String)(
       build: => (DataFrame, Seq[DataFrame])): DataFrame =
-    live.get(op) match {
-      case Some(e) if e.inputKey == inputKey => e.frames.last
-      case _ =>
-        val (result, intermediates) = build
-        finish(op, inputKey, result, intermediates)
+    opLocks.getOrElseUpdate(op, new Object).synchronized {
+      live.get(op) match {
+        case Some(e) if e.inputKey == inputKey => e.frames.last
+        case _ =>
+          val (result, intermediates) = build
+          finish(op, inputKey, result, intermediates)
+      }
     }
 
   /** Persists + eagerly materializes `result` (while the intermediates are

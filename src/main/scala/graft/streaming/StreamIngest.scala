@@ -52,7 +52,12 @@ object StreamIngest {
           // one url per batch): keep the newest per url
           import batch.sparkSession.implicits._
           import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+          // deterministic tiebreak for equal warc_ts (same-second recrawl
+          // in one batch): identical to the batch builder's upsert rule,
+          // so a crash-replay of the batch commits the same row
+          val w = Window.partitionBy($"url").orderBy(
+            $"warc_ts".desc,
+            xxhash64(coalesce($"text", lit("")), coalesce($"html", lit(""))))
           val newest = batch
             .withColumn("_rn", row_number().over(w))
             .filter($"_rn" === 1).drop("_rn")

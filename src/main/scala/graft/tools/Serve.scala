@@ -92,7 +92,25 @@ object Serve {
     val spark = SparkSearchCli.localSession("*")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val h = IndexHandles(spark, indexDir) // warms meta/terms/docs caches
+    // per-REQUEST handle resolution (one small meta read): a handle
+    // captured at startup would go stale on the first incremental /
+    // streaming commit — frozen stats, and plans over delta files that a
+    // later compaction grace-deletes. IndexHandles.apply swaps handles on
+    // meta change, so this is exactly the serving-freshness contract.
+    def handle(): IndexHandles = IndexHandles(spark, indexDir)
+    handle() // warm meta/terms/docs caches before accepting requests
+    // the corpus frame is path-stable — build it ONCE, not per /file
+    // request (per-request spark.read.parquet pays file listing + footer
+    // reads on the hot path). Accepts either the pages shape (url, text)
+    // or the driver's documents shape (doc_id, text), adapted with the
+    // same url mapping Corpus.documentsAsPages uses.
+    val corpus = corpusDir.map { d =>
+      val df = spark.read.parquet(d)
+      if (df.columns.contains("url")) df
+      else df.withColumn("url",
+        org.apache.spark.sql.functions.format_string(
+          "doc%012d", $"doc_id"))
+    }
 
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
 
@@ -112,8 +130,9 @@ object Serve {
 
     server.createContext("/api/stats", (ex: HttpExchange) =>
       try {
-        val s = h.stats
-        val termCount = h.meta("termCount")
+        val hh = handle()
+        val s = hh.stats
+        val termCount = hh.meta("termCount")
         respond(ex, 200,
           s"""{"doc_count":${s.docCount},"unique_term_count":$termCount}""")
       } catch { case e: Exception => respond(ex, 500, s""""${esc(
@@ -125,12 +144,13 @@ object Serve {
           case None => respond(ex, 400, """"Missing file path query parameter"""")
           case Some(url) =>
             // traversal guard analog: only urls present in the index's docs
-            // table are reachable
-            val known = h.docs.filter($"url" === url).limit(1).count() > 0
-            // corpusDir = parquet of pages rows (url, ..., text)
-            val text = corpusDir.filter(_ => known).flatMap { dir =>
-              spark.read.parquet(dir)
-                .filter($"url" === url).select("text")
+            // table are reachable (resolved against the CURRENT handle, so
+            // streamed-in docs become fetchable)
+            val known =
+              handle().docs.filter($"url" === url).limit(1).count() > 0
+            // corpus = parquet of pages rows (url, ..., text)
+            val text = corpus.filter(_ => known).flatMap { c =>
+              c.filter($"url" === url).select("text")
                 .as[String].collect().headOption
             }
             text match {
