@@ -1,30 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Median of an odd-length (or any non-empty) sample. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // 1 unmeasured warm-up + 1 timed run — the reference benchmark's own
-      // methodology (benchmark.rs:73-76). The warm-up absorbs one-time
-      // costs that are not the query's (JVM/codegen compilation, the
-      // cached index build) so timings compare run-to-run.
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq
+    // 1 unmeasured warm-up pass (absorbs JVM/codegen compilation and the
+    // cached index build — the reference benchmark's own methodology,
+    // benchmark.rs:73-76), then `samples` timed passes with the QUERIES
+    // INTERLEAVED in time (pass 1 runs every query, then pass 2, …) and
+    // the per-query MEDIAN reported. This host has documented ~38% steal
+    // bursts (BENCH/BASELINE.md): a single sample made unchanged queries
+    // drift ~2× between rounds, indistinguishable from a real regression.
+    // Interleaving spreads a noisy minute across all queries equally; the
+    // median discards the burst. Same methodology as ScalingBench.
+    names.foreach { n =>
+      try { SparkEntry.queries(n)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
     }
+    val timings: Map[String, Seq[Double]] = {
+      val acc = scala.collection.mutable.Map
+        .empty[String, List[Double]].withDefaultValue(Nil)
+      (0 until samples).foreach { _ =>
+        names.foreach { n =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(n)(spark, sfDir).count() }
+          catch { case _: Throwable => () }
+          acc(n) = acc(n) :+ (System.nanoTime() - t0) / 1e9
+        }
+      }
+      acc.toMap
+    }
+    val results: Map[String, Double] =
+      names.map(n => n -> median(timings(n))).toMap
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""samples":$samples,"sf":"$sfDir"}"""
     println(line)
     // file fallback for parsers that can't strip build-tool log prefixes
     java.nio.file.Files.writeString(

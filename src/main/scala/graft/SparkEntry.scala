@@ -101,16 +101,24 @@ object SparkEntry {
     "ann_lsh_cosine" -> ((s, dir) => Ann.lshTopK(s, dir)),
 
     // ---- text analysis -----------------------------------------------------
-    "text_langid" -> ((s, dir) => TextStats.langId(s, dir)),
-    "text_quality" -> ((s, dir) => TextStats.quality(s, dir)),
-    "text_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),
-    "text_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
+    // orderBy here is ORACLE-COMPARISON plumbing, not operator semantics:
+    // the ops return unsorted narrow-map frames (no global sort at corpus
+    // scale); the driver gate wants deterministic dump order
+    "text_langid" -> ((s, dir) => TextStats.langId(s, dir).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextStats.quality(s, dir).orderBy("doc_id")),
+    "text_token_counts" -> ((s, dir) =>
+      TextStats.tokenCounts(s, dir).orderBy("doc_id")),
+    "text_fingerprints" -> ((s, dir) =>
+      TextStats.fingerprints(s, dir).orderBy("doc_id", "k_rank")),
 
     // ---- multimodal plumbing: REAL ImageIO decode on the PNG stratum
     // (doc_id % 10 == 0 carries a deterministic synthesized PNG), stub for
     // opaque payloads; frame sampling is md5-digested and DuckDB-oracled --
-    "mm_image_meta" -> ((s, dir) => Multimodal.imageMeta(s, dir)),
-    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)))
+    "mm_image_meta" -> ((s, dir) =>
+      Multimodal.imageMeta(s, dir).orderBy("doc_id")),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(s, dir).orderBy("doc_id", "frame_idx")))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,9 @@ import Schema.Posting
   *   - `docs/`      new/replacing DocMeta rows (+ seq)
   *   - `removed/`   tombstones: (docId, seq) — "every version of docId
   *                  written BEFORE seq is dead"
+  *   - `_committed` the commit marker (tiny file, created atomically via
+  *                  temp + rename AFTER every table above has fully
+  *                  written — see [[commitDelta]])
   *
   * Liveness rule (read side): a row written at layer `r` (base = 0, delta
   * = its seq) is live iff `r >= lastTombstoneSeq(docId)` (0 when none).
@@ -30,16 +33,35 @@ import Schema.Posting
   * cluster the delta commit maps to one Iceberg snapshot. Read cost grows
   * with the number of live tombstones, so [[Incremental.compact]] folds
   * deltas back into the base when `deltaCompactEvery` deltas accumulate or
-  * tombstones exceed a fraction of the corpus.
+  * tombstones exceed min(`tombstoneCompactFraction` of the corpus,
+  * `tombstoneAbsoluteCap`).
   */
 object DeltaLog {
 
   def deltasPath(dir: String) = s"$dir/deltas"
   def seqPath(dir: String, seq: Int) = s"$dir/deltas/seq_$seq"
   private def compactedMarker(dir: String) = s"$dir/deltas/_compacted"
+  private def committedMarker(dir: String, seq: Int) =
+    s"${seqPath(dir, seq)}/_committed"
+  def removedPath(dir: String, seq: Int) = s"${seqPath(dir, seq)}/removed"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic small-file write: temp + rename, so concurrent readers see
+    * either the old content or the new — never a truncated in-place
+    * overwrite. Shared by every marker/meta writer in the index package.
+    */
+  private[index] def writeAtomicString(
+      f: FileSystem, path: String, content: String): Unit = {
+    val dest = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (f.exists(dest)) f.delete(dest, false)
+    f.rename(tmp, dest)
+  }
 
   /** Highest seq folded into the base by [[Incremental.compact]]; seqs at
     * or below it are invisible to readers even while their dirs await
@@ -63,10 +85,18 @@ object DeltaLog {
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt).getOrElse(0)
   }
 
-  /** Committed, uncompacted delta sequence numbers, ascending (a seq is
-    * committed once its `removed/` table exists — it is written LAST, so a
-    * crashed half-written delta is invisible and safely overwritten by the
-    * retry).
+  /** Committed, uncompacted delta sequence numbers, ascending.
+    *
+    * A seq is committed iff its `_committed` marker file exists — NOT iff
+    * its `removed/` directory exists: Spark's FileOutputCommitter creates
+    * the output directory (with `_temporary/`) at job SETUP, before any
+    * data commits, so directory existence would make a crashed or
+    * in-flight `removed/` write look committed to a concurrent reader —
+    * which would then either wedge on schema inference over an empty
+    * table or double-apply the delta after the retry. The marker is a
+    * separate file written atomically (temp + rename) strictly after the
+    * tombstone parquet job commits ([[commitDelta]]), so visibility flips
+    * in one rename.
     */
   def listSeqs(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
@@ -77,7 +107,7 @@ object DeltaLog {
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("seq_") => s.stripPrefix("seq_").toInt }
       .filter(s => s > floor &&
-        f.exists(new Path(s"${seqPath(dir, s)}/removed")))
+        f.exists(new Path(committedMarker(dir, s))))
       .sorted
   }
 
@@ -90,28 +120,38 @@ object DeltaLog {
     math.max(listSeqs(spark, dir).lastOption.getOrElse(0),
       compactedThrough(spark, dir)) + 1
 
-  /** (docId, tombSeq = max tombstone seq) — the small side of every
-    * liveness join; None when the index has no deltas.
+  /** (docId, tombSeq = max tombstone seq) over the GIVEN seq snapshot —
+    * the small side of every liveness join; None when no deltas. Callers
+    * holding a handle pass the seq listing captured at handle construction
+    * so every derived frame shares one consistent snapshot.
     */
-  def tombstonesDf(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val seqs = listSeqs(spark, dir)
+  def tombstonesDf(
+      spark: SparkSession, dir: String, seqs: Seq[Int]): Option[DataFrame] =
     if (seqs.isEmpty) None
     else Some(spark.read
-      .parquet(seqs.map(s => s"${seqPath(dir, s)}/removed"): _*)
+      .parquet(seqs.map(s => removedPath(dir, s)): _*)
       .groupBy("docId").agg(max(col("seq")).cast("int").as("tombSeq")))
-  }
+
+  def tombstonesDf(spark: SparkSession, dir: String): Option[DataFrame] =
+    tombstonesDf(spark, dir, listSeqs(spark, dir))
 
   /** Driver-collected tombstones for the WAND decode filter. Bounded by
-    * compaction (tombstones > `tombstoneCompactFraction`·docCount trigger
-    * a fold), so this stays a small working set.
+    * compaction (min(fraction·docCount, tombstoneAbsoluteCap) triggers a
+    * fold) AND by the caller's own gate ([[graft.query.IndexHandles]]
+    * falls back to the distributed liveness join past
+    * `graft.maxDriverTombstones`), so this stays a small working set.
     */
-  def tombstoneMap(spark: SparkSession, dir: String): Map[Long, Int] = {
+  def tombstoneMap(
+      spark: SparkSession, dir: String, seqs: Seq[Int]): Map[Long, Int] = {
     import spark.implicits._
-    tombstonesDf(spark, dir) match {
+    tombstonesDf(spark, dir, seqs) match {
       case None => Map.empty
       case Some(t) => t.as[(Long, Int)].collect().toMap
     }
   }
+
+  def tombstoneMap(spark: SparkSession, dir: String): Map[Long, Int] =
+    tombstoneMap(spark, dir, listSeqs(spark, dir))
 
   private def basePostings(spark: SparkSession, dir: String): DataFrame = {
     val g = IndexBuilder.readMeta(spark, dir)("postingGroups").toInt
@@ -120,12 +160,14 @@ object DeltaLog {
       .select("termId", "docId", "tf", "docLen")
   }
 
-  /** Applies the liveness rule to a frame carrying a `_seq` layer column;
-    * the tombstone side is broadcast (it is compaction-bounded small).
+  /** Applies the liveness rule to a frame carrying a `_seq` layer column,
+    * with the tombstone side read from the given seq snapshot and
+    * broadcast (it is compaction-bounded small).
     */
   def withLiveness(
-      spark: SparkSession, dir: String, layers: DataFrame): DataFrame =
-    tombstonesDf(spark, dir) match {
+      spark: SparkSession, dir: String, layers: DataFrame,
+      seqs: Seq[Int]): DataFrame =
+    tombstonesDf(spark, dir, seqs) match {
       case None => layers.drop("_seq")
       case Some(t) =>
         layers.join(broadcast(t), Seq("docId"), "left")
@@ -133,9 +175,13 @@ object DeltaLog {
           .drop("_seq", "tombSeq")
     }
 
+  def withLiveness(
+      spark: SparkSession, dir: String, layers: DataFrame): DataFrame =
+    withLiveness(spark, dir, layers, listSeqs(spark, dir))
+
   /** Live postings across base + deltas: (termId, docId, tf, docLen). */
-  def postingsView(spark: SparkSession, dir: String): DataFrame = {
-    val seqs = listSeqs(spark, dir)
+  def postingsView(
+      spark: SparkSession, dir: String, seqs: Seq[Int]): DataFrame = {
     val base = basePostings(spark, dir)
     if (seqs.isEmpty) return base
     val cols = Seq("termId", "docId", "tf", "docLen")
@@ -145,14 +191,18 @@ object DeltaLog {
       base.withColumn("_seq", lit(0))
         .select((cols :+ "_seq").map(col): _*)
         .unionByName(delta.withColumn("_seq", col("seq").cast("int"))
-          .select((cols :+ "_seq").map(col): _*)))
+          .select((cols :+ "_seq").map(col): _*)),
+      seqs)
   }
+
+  def postingsView(spark: SparkSession, dir: String): DataFrame =
+    postingsView(spark, dir, listSeqs(spark, dir))
 
   private val docCols = Seq("docId", "url", "warc_ts", "docLen")
 
   /** Live docs table across base + deltas. */
-  def docsView(spark: SparkSession, dir: String): DataFrame = {
-    val seqs = listSeqs(spark, dir)
+  def docsView(
+      spark: SparkSession, dir: String, seqs: Seq[Int]): DataFrame = {
     val base = spark.read.parquet(IndexBuilder.docsPath(dir))
       .select(docCols.map(col): _*)
     if (seqs.isEmpty) return base
@@ -162,8 +212,12 @@ object DeltaLog {
       base.withColumn("_seq", lit(0))
         .select((docCols :+ "_seq").map(col): _*)
         .unionByName(delta.withColumn("_seq", col("seq").cast("int"))
-          .select((docCols :+ "_seq").map(col): _*)))
+          .select((docCols :+ "_seq").map(col): _*)),
+      seqs)
   }
+
+  def docsView(spark: SparkSession, dir: String): DataFrame =
+    docsView(spark, dir, listSeqs(spark, dir))
 
   /** Every doc row ever written (dead included) — for max-docId assignment,
     * so a purged doc's id is never handed to a new url while tombstones
@@ -180,17 +234,19 @@ object DeltaLog {
   }
 
   /** Delta blocks (TermBlock columns + `seq`); None when no deltas. */
-  def deltaBlocks(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val seqs = listSeqs(spark, dir)
+  def deltaBlocks(
+      spark: SparkSession, dir: String, seqs: Seq[Int]): Option[DataFrame] =
     if (seqs.isEmpty) None
     else Some(spark.read
       .parquet(seqs.map(s => s"${seqPath(dir, s)}/blocks"): _*))
-  }
+
+  def deltaBlocks(spark: SparkSession, dir: String): Option[DataFrame] =
+    deltaBlocks(spark, dir, listSeqs(spark, dir))
 
   /** Writes one delta's DATA tables (postings + their encoded blocks +
     * doc rows). NOT visible to readers until [[commitDelta]] writes the
-    * tombstone table; a crash in between leaves an invisible half-written
-    * dir that the retry overwrites.
+    * `_committed` marker; a crash in between leaves an invisible
+    * half-written dir that the retry overwrites.
     */
   def writeDeltaData(
       spark: SparkSession,
@@ -202,6 +258,13 @@ object DeltaLog {
       bucketSize: Long,
       parts: Int): Unit = {
     val p = seqPath(dir, seq)
+    // a retried seq must re-commit from scratch: drop any stale marker a
+    // previous successful commit of this seq could have left (can only
+    // happen if a caller re-runs a committed seq, which the nextSeq
+    // protocol forbids — cheap insurance against manual intervention)
+    val f = fs(spark, dir)
+    val m = new Path(committedMarker(dir, seq))
+    if (f.exists(m)) f.delete(m, false)
     postingsAdd.select("termId", "docId", "tf", "docLen")
       .withColumn("seq", lit(seq))
       .write.mode("overwrite").parquet(s"$p/postings")
@@ -220,19 +283,24 @@ object DeltaLog {
       .write.mode("overwrite").parquet(s"$p/docs")
   }
 
-  /** COMMITS seq: `removed/` (tombstones) is written last — its existence
-    * IS the commit marker ([[listSeqs]]). Everything ordered after it in
-    * [[Incremental.update]] (terms/stats swap, meta) is reconstructible
-    * from durable state by [[Incremental.recover]].
+  /** COMMITS seq: writes the tombstone table, then — strictly after the
+    * parquet job has committed — creates the `_committed` marker file
+    * atomically (temp + rename). Marker existence IS commit visibility
+    * ([[listSeqs]]); everything ordered after it in [[Incremental.update]]
+    * (terms/stats swap, meta) is reconstructible from durable state by
+    * [[Incremental.recover]].
     */
   def commitDelta(
       spark: SparkSession,
       dir: String,
       seq: Int,
-      tombstones: DataFrame): Unit = // docId column
+      tombstones: DataFrame): Unit = { // docId column
     tombstones.select(col("docId"))
       .withColumn("seq", lit(seq))
-      .write.mode("overwrite").parquet(s"${seqPath(dir, seq)}/removed")
+      .write.mode("overwrite").parquet(removedPath(dir, seq))
+    writeAtomicString(fs(spark, dir), committedMarker(dir, seq),
+      seq.toString)
+  }
 
   /** Marks every current delta compacted — readers ignore them from the
     * next [[listSeqs]] — and physically deletes only the dirs made
@@ -262,13 +330,7 @@ object DeltaLog {
     // marker via temp + rename — an in-place overwrite has a truncated-
     // content window that would read as garbage (and the fallback-0 read,
     // while safe, would resurrect read cost)
-    val tmp = new Path(compactedMarker(dir) + ".tmp")
-    val out = f.create(tmp, true)
-    out.write(maxSeq.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    if (f.exists(marker)) f.delete(marker, false)
-    f.rename(tmp, marker)
+    writeAtomicString(f, compactedMarker(dir), maxSeq.toString)
     if (prevMarkerAgeMs > graceMs)
       all.filter(_.getPath.getName.stripPrefix("seq_").toInt <= prevFloor)
         .foreach(st => f.delete(st.getPath, true))

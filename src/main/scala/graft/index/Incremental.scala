@@ -294,10 +294,15 @@ object Incremental {
     // seqs are monotonic ACROSS compactions (compacted dirs linger through
     // the deletion grace), so the trigger counts visible uncompacted
     // deltas, not the raw seq number
+    // fraction bounds read amplification; the absolute cap bounds the
+    // tombstone working set itself (driver map / broadcast on the query
+    // path) — min() so whichever is smaller fires first
+    val tombTrigger = math.min(
+      conf.tombstoneCompactFraction * math.max(1L, statsNew.docCount),
+      conf.tombstoneAbsoluteCap.toDouble)
     val shouldCompact =
       DeltaLog.listSeqs(spark, indexDir).size >= conf.deltaCompactEvery ||
-        tombCount > conf.tombstoneCompactFraction *
-          math.max(1L, statsNew.docCount)
+        tombCount > tombTrigger
     if (shouldCompact) compact(spark, indexDir, conf)
 
     UpdateReport(
@@ -404,18 +409,9 @@ object Incremental {
   }
 
   private[index] def writeCompactingIntent(
-      spark: SparkSession, indexDir: String, bucketSize: Long): Unit = {
-    val f = hadoopFs(spark, indexDir)
-    val p = new org.apache.hadoop.fs.Path(compactingIntentPath(indexDir))
-    val tmp = new org.apache.hadoop.fs.Path(
-      compactingIntentPath(indexDir) + ".tmp")
-    val out = f.create(tmp, true)
-    out.write(bucketSize.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    if (f.exists(p)) f.delete(p, false)
-    f.rename(tmp, p)
-  }
+      spark: SparkSession, indexDir: String, bucketSize: Long): Unit =
+    DeltaLog.writeAtomicString(hadoopFs(spark, indexDir),
+      compactingIntentPath(indexDir), bucketSize.toString)
 
   private def dropCompactingIntent(
       spark: SparkSession, indexDir: String): Unit = {
@@ -430,17 +426,24 @@ object Incremental {
 
   /** Overwrite a table that the plan also READS: stage to a sibling temp
     * dir, then swap (parquet has no snapshot isolation — Iceberg would
-    * commit atomically instead).
+    * commit atomically instead). The staging dir is UNDERSCORE-prefixed
+    * (`_tmp_group=N`, not `group=N__tmp`): Spark's file listing skips
+    * underscore paths, so a concurrent handle doing partition discovery on
+    * postingsPath/blocksPath can never list the half-written dir and
+    * corrupt `group` partition-column inference (or trip on its
+    * `_temporary` contents).
     */
   private def writeTemp(
       spark: SparkSession,
       df: DataFrame,
       dest: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dest)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dest + "__tmp")
+    val tmp = new org.apache.hadoop.fs.Path(
+      destPath.getParent, "_tmp_" + destPath.getName)
     df.write.mode("overwrite").parquet(tmp.toString)
-    swapInto(fs, tmp, new org.apache.hadoop.fs.Path(dest))
+    swapInto(fs, tmp, destPath)
   }
 
   private def versionedPath(dest: String, seq: Int): String =

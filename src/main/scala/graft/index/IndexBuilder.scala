@@ -43,9 +43,13 @@ object IndexBuilder {
       assumeUniqueUrls: Boolean = false,
       // merge-on-read maintenance ([[DeltaLog]]): fold deltas into the base
       // after this many sequenced updates, or sooner when tombstones exceed
-      // the fraction below of the live doc count
+      // min(fraction · live doc count, absolute cap). The fraction bounds
+      // read amplification; the ABSOLUTE cap bounds the tombstone working
+      // set itself — at the 10^12-doc target a fraction alone would let a
+      // multi-GB tombstone map onto the query path before compaction fired
       deltaCompactEvery: Int = 8,
-      tombstoneCompactFraction: Double = 0.2)
+      tombstoneCompactFraction: Double = 0.2,
+      tombstoneAbsoluteCap: Long = 10000000L)
 
   /** Run independent build stages concurrently on one SparkSession —
     * Spark schedules their jobs side by side, so small stages share the
@@ -435,10 +439,11 @@ object IndexBuilder {
       m: BuildMetrics): Unit = {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(s"$indexDir/meta.json")
-    val out = fs.create(p, true)
-    out.write(
-      (s"""{"format":3,"buildId":"${conf.buildId}",""" +
+    // temp + rename: per-request handle resolution reads meta.json
+    // concurrently, and an in-place overwrite has a truncated-content
+    // window that would fail the request or key a handle to garbage meta
+    DeltaLog.writeAtomicString(fs, s"$indexDir/meta.json",
+      s"""{"format":3,"buildId":"${conf.buildId}",""" +
         s""""blockSize":${conf.blockSize},""" +
         s""""bucketSize":$bucketSize,"queryBuckets":${conf.queryBuckets},""" +
         s""""postingGroups":${conf.postingGroups},"deltaSeq":0,""" +
@@ -447,8 +452,7 @@ object IndexBuilder {
         s""""docsPerSec":${m.docsPerSec},"wallMs":${m.wallMs},""" +
         s""""postingsPerPartitionAvg":${m.postingsPerPartitionAvg},""" +
         s""""postingsPerPartitionMax":${m.postingsPerPartitionMax},""" +
-        s""""skewRatio":${m.skewRatio}}""").getBytes(StandardCharsets.UTF_8))
-    out.close()
+        s""""skewRatio":${m.skewRatio}}""")
   }
 
   /** Read-modify-write of meta.json fields (numbers written raw, everything
@@ -467,9 +471,9 @@ object IndexBuilder {
       val vv = if (numeric.findFirstIn(v).isDefined) v else "\"" + v + "\""
       s""""$k":$vv"""
     }.mkString("{", ",", "}")
-    val out = fs.create(new Path(s"$indexDir/meta.json"), true)
-    out.write(body.getBytes(StandardCharsets.UTF_8))
-    out.close()
+    // temp + rename, same as writeMeta: concurrent readers must never see
+    // a truncated meta.json mid-commit
+    DeltaLog.writeAtomicString(fs, s"$indexDir/meta.json", body)
   }
 
   /** Reads meta.json as a simple key→string map. */

@@ -161,7 +161,8 @@ object Ann {
       threshold: Double = 0.35,
       planes: Int = 0, // ≤0 → adaptive: ceil(log2(N/8)), clamped [4, 48]
       tables: Int = 16): DataFrame = LiveResultCache.getOrCompute(
-    "cosineNearDup", s"$sfDir|$threshold|$planes|$tables") {
+    "cosineNearDup", s"$sfDir|${LiveResultCache.fingerprint(spark,
+      s"$sfDir/embeddings.parquet")}|$threshold|$planes|$tables") {
     val nVec = emb(spark, sfDir).count()
     val p =
       if (planes > 0) planes

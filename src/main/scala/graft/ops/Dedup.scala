@@ -90,7 +90,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7): DataFrame = LiveResultCache.getOrCompute(
-    "minhash", s"$sfDir|$numHashes|$bands|$threshold") {
+    "minhash", s"$sfDir|${LiveResultCache.fingerprint(spark,
+      s"$sfDir/documents.parquet")}|$numHashes|$bands|$threshold") {
     // integer-divided rows would silently exclude the tail hashes from
     // banding while est_jaccard still divides by the full numHashes
     require(numHashes % bands == 0,
@@ -238,7 +239,8 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       maxDist: Int = 3): DataFrame = LiveResultCache.getOrCompute(
-    "simhash", s"$sfDir|$maxDist") {
+    "simhash", s"$sfDir|${LiveResultCache.fingerprint(spark,
+      s"$sfDir/documents.parquet")}|$maxDist") {
     // pigeonhole over the fixed 4×16-bit chunk banding: ≤3 differing bits
     // guarantee one identical chunk; maxDist ≥ 4 would silently lose
     // qualifying pairs (a pair can differ in every chunk)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Bounded serving-style result cache for the pipeline operators whose
@@ -28,14 +28,39 @@ private[ops] object LiveResultCache {
   private val opLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** Order-independent fingerprint of every data file under `path`
+    * (name × length × mtime, recursive) — O(listing), no data read.
+    * Callers fold it into their `inputKey` so a REWRITTEN input at the
+    * same path is a cache MISS, not a stale hit: (path, params) keying
+    * alone would keep serving the old memoized frame after the parquet
+    * underneath changed (safe for the driver harness's immutable testdata,
+    * wrong for Serve / any long-lived session sharing this JVM).
+    */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val it = fs.listFiles(p, true)
+    var acc = 0L
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      var h = st.getPath.getName.hashCode.toLong
+      h = h * 1000003L + st.getLen
+      h = h * 1000003L + st.getModificationTime
+      acc ^= h * -7046029254386353131L // order-independent mix
+      n += 1
+    }
+    s"$n:${java.lang.Long.toHexString(acc)}"
+  }
+
   /** Returns the op's memoized result DataFrame when the key matches the
     * live entry — same object, so actions read the existing cached blocks
     * even when the plan contains per-call closures/broadcasts that defeat
     * canonicalized-plan matching (e.g. the ANN signature flatMap). On a
-    * miss, runs `build` and records its output via [[finish]]. Staleness
-    * caveat (same as any plan cache): entries assume the input files are
-    * immutable for the session; a changed input path is a changed key only
-    * if the caller keys on content — ours key on (path, params).
+    * miss, runs `build` and records its output via [[finish]]. Callers
+    * key on (path, [[fingerprint]], params), so both a different input
+    * and a rewritten same-path input miss.
     */
   def getOrCompute(op: String, inputKey: String)(
       build: => (DataFrame, Seq[DataFrame])): DataFrame =

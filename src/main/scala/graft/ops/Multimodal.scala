@@ -157,7 +157,9 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy("doc_id")
+  // NO trailing orderBy: as a pipeline operator this is a narrow map —
+  // a global sort here would be a needless full shuffle at corpus scale.
+  // Oracle-comparison ordering lives in the SparkEntry wrapper.
   }
 
   /** Frame-sampling shape for video-like payloads: split the payload into
@@ -192,7 +194,7 @@ object Multimodal {
       .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
         col("f.frame_md5").as("frame_md5"),
         col("f.frame_chars").as("frame_chars"))
-      .orderBy("doc_id", "frame_idx")
+  // unsorted by design — see imageMeta; SparkEntry orders for the oracle
   }
 
   /** DuckDB twin of [[frameSample]] (same rows, same column names; the

@@ -84,7 +84,9 @@ object TextStats {
             col("en_hits") >= col("fr_hits"), "en")
           .when(col("es_hits") >= col("fr_hits"), "es")
           .otherwise("fr"))
-      .orderBy("doc_id")
+  // NO trailing orderBy: these ops are narrow codegen'd maps — a global
+  // sort would be a needless full shuffle at corpus scale. Ordering for
+  // the oracle comparison lives in the SparkEntry wrappers.
   }
 
   /** DuckDB twin of [[langId]] (same rows, names, and CASE logic). */
@@ -154,7 +156,7 @@ object TextStats {
           greatest(col("n_chars2"), lit(1)), 3).as("punct_ratio"),
         round(col("n_alpha").cast("double") /
           greatest(col("n_chars2"), lit(1)), 3).as("alpha_ratio"))
-      .orderBy("doc_id")
+  // unsorted by design — see langId; SparkEntry orders for the oracle
   }
 
   def qualitySql: String =
@@ -187,7 +189,7 @@ object TextStats {
         .as("ws_tokens"),
       size(regexp_extract_all(col("text"),
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("bpe_tokens"))
-      .orderBy("doc_id")
+  // unsorted by design — see langId; SparkEntry orders for the oracle
 
   def tokenCountsSql: String =
     """SELECT doc_id,
@@ -219,7 +221,7 @@ object TextStats {
         hashes.iterator.zipWithIndex.map { case (h, r) => (id, r, h) }
       }
       .toDF("doc_id", "k_rank", "hash")
-      .orderBy("doc_id", "k_rank")
+  // unsorted by design — see langId; SparkEntry orders for the oracle
   }
 
   /** Driver-side twin of the per-doc fingerprint (ascending hash order). */

@@ -147,4 +147,21 @@ final class RefModel(params: Scoring.Params = Scoring.Params()) {
   def searchTop(query: String, method: RankMethod, k: Int)
       : Vector[(String, Float)] =
     searchQuery(query, method).filter(_._2 > 0.0f).take(k)
+
+  /** CLI semantics (`/root/reference/src/main.rs:290`): k results
+    * INCLUDING zero-scored docs when fewer than k score positive. The
+    * reference pads in HashMap iteration order — nondeterministic — so
+    * this oracle pads by url ASC, which equals the rebuild's docId-asc pad
+    * (docId = url rank; COVERAGE.md divergence #3).
+    */
+  def searchTopCli(query: String, method: RankMethod, k: Int)
+      : Vector[(String, Float)] = {
+    val pos = searchTop(query, method, k)
+    if (pos.length >= k) pos
+    else {
+      val have = pos.iterator.map(_._1).toSet
+      pos ++ docs.keysIterator.filterNot(have).toVector.sorted
+        .take(k - pos.length).map(u => (u, 0.0f))
+    }
+  }
 }

@@ -25,17 +25,58 @@ final class IndexHandles private (
 
   val meta: Map[String, String] = IndexBuilder.readMeta(spark, indexDir)
   val postingGroups: Int = meta("postingGroups").toInt
+
+  /** The ONE delta-seq listing this handle is built from: every derived
+    * frame (tombstones, docs view, delta blocks, postingsFor layers) is
+    * passed this snapshot explicitly, so a delta commit landing while the
+    * handle is constructed can never pair seq-N data files with a
+    * tombstone set missing seq N (which would score a replaced doc from
+    * both its old and new layers until the next handle swap).
+    */
   val deltaSeqs: Seq[Int] = DeltaLog.listSeqs(spark, indexDir)
 
+  /** Tombstone ROW count across the snapshot's deltas, summed from parquet
+    * footers — no Spark job. Upper-bounds the distinct-docId tombstone
+    * working set, so it gates the driver collect below.
+    */
+  val tombRows: Long =
+    if (deltaSeqs.isEmpty) 0L
+    else IndexBuilder.footerRowCounts(spark,
+      deltaSeqs.map(s => DeltaLog.removedPath(indexDir, s))).sum
+
+  /** True when the tombstone working set is too large to collect to the
+    * driver (`graft.maxDriverTombstones`, default 10M ≈ 120 MB of map
+    * entries). Compaction normally folds deltas long before this
+    * (min(fraction·docCount, tombstoneAbsoluteCap) trigger), but a
+    * maintenance lull under heavy churn must DEGRADE to the distributed
+    * liveness join, not OOM the driver: [[Wand.topKArray]] skips the
+    * driver-local path and co-partitions tombstones with blocks by docId
+    * bucket; [[postingsFor]] joins the tombstone frame without a
+    * broadcast hint.
+    */
+  val tombOverflow: Boolean = {
+    val cap = spark.conf
+      .getOption("graft.maxDriverTombstones").map(_.toLong)
+      .getOrElse(10000000L)
+    tombRows > cap
+  }
+
   /** docId → latest tombstone seq; a row from layer r is live iff
-    * r >= tombSeq(docId). Compaction-bounded small; empty on fresh builds.
+    * r >= tombSeq(docId). Compaction-bounded small; empty on fresh builds
+    * AND under [[tombOverflow]] (the distributed path takes over).
     */
   val tombMap: Map[Long, Int] =
-    if (deltaSeqs.isEmpty) Map.empty
-    else DeltaLog.tombstoneMap(spark, indexDir)
+    if (deltaSeqs.isEmpty || tombOverflow) Map.empty
+    else DeltaLog.tombstoneMap(spark, indexDir, deltaSeqs)
 
-  private val tombDf: Option[DataFrame] =
-    if (tombMap.isEmpty) None
+  /** Snapshot tombstone frame: rebuilt from the collected map when small
+    * (broadcast-joined), read straight from the snapshot's parquet when
+    * overflowed (regular join — Spark picks SMJ/SHJ).
+    */
+  private[query] val tombDf: Option[DataFrame] =
+    if (deltaSeqs.isEmpty) None
+    else if (tombOverflow) DeltaLog.tombstonesDf(spark, indexDir, deltaSeqs)
+    else if (tombMap.isEmpty) None
     else {
       import spark.implicits._
       Some(tombMap.toSeq.toDF("docId", "tombSeq"))
@@ -82,7 +123,8 @@ final class IndexHandles private (
       .parquet(IndexBuilder.docsPath(indexDir))
     val live =
       if (deltaSeqs.isEmpty) base.select("docId", "url")
-      else DeltaLog.docsView(spark, indexDir).select("docId", "url")
+      else DeltaLog.docsView(spark, indexDir, deltaSeqs)
+        .select("docId", "url")
     live
       .coalesce(parts(meta("docCount").toLong))
       .persist(
@@ -120,7 +162,7 @@ final class IndexHandles private (
   private val postingsDf: DataFrame =
     spark.read.parquet(IndexBuilder.postingsPath(indexDir))
   private val deltaBlocksDf: Option[DataFrame] =
-    DeltaLog.deltaBlocks(spark, indexDir)
+    DeltaLog.deltaBlocks(spark, indexDir, deltaSeqs)
       .map(df => if (cacheBlocks)
         df.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK) else df)
 
@@ -256,7 +298,12 @@ final class IndexHandles private (
     tombDf match {
       case None => layered.drop("_seq")
       case Some(t) =>
-        layered.join(broadcast(t), Seq("docId"), "left")
+        // broadcast only the collected (bounded) map frame; an overflowed
+        // tombstone set stays a distributed join — broadcasting it would
+        // recreate the very driver/executor-memory problem the overflow
+        // gate exists to avoid
+        val side = if (tombOverflow) t else broadcast(t)
+        layered.join(side, Seq("docId"), "left")
           .filter(col("_seq") >= coalesce(col("tombSeq"), lit(0)))
           .select(cols.map(col): _*)
     }

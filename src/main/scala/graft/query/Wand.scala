@@ -323,6 +323,73 @@ object Wand {
       .as[(Int, TermBlock)]
   }
 
+  /** Envelope row for the tombstone-overflow path: candidate blocks and
+    * tombstones co-partitioned by docId bucket (exactly one of block /
+    * tombDoc is meaningful per row). NOT private: Catalyst's generated
+    * deserializer needs constructor access.
+    */
+  final case class BucketRow(
+      bucket: Int, seq: Int, block: Option[TermBlock],
+      tombDoc: Long, tombSeq: Int)
+
+  /** Distributed WAND with DISTRIBUTED liveness: when the tombstone set
+    * exceeds `graft.maxDriverTombstones` ([[IndexHandles.tombOverflow]]),
+    * neither the driver map nor an executor broadcast of it is viable —
+    * at the 10^12-doc target, 20% churn is a multi-GB working set. Both
+    * sides are instead shuffled ONCE by docId bucket (tombstone bucket =
+    * docId / bucketSize, the same arithmetic [[graft.index.Blocks.encode]]
+    * stamps on blocks), so each bucket's WAND sees exactly its own
+    * tombstones: per-task liveness state is corpus/buckets-bounded, and no
+    * driver collect scales with churn. Compaction
+    * (min(tombstoneCompactFraction·docCount, tombstoneAbsoluteCap))
+    * normally folds long before this path engages; it is the correctness
+    * backstop for a maintenance lull, not the steady state.
+    */
+  private def topKTombDistributed(
+      spark: SparkSession,
+      h: IndexHandles,
+      qp: Search.QueryPlan,
+      method: Search.Method,
+      k: Int,
+      params: Scoring.Params,
+      termInfo: Map[Long, (Float, Float)]): Array[(Long, Float)] = {
+    import spark.implicits._
+    val avgdl = qp.avgdl
+    val m = method
+    val kk = k
+    val p = params
+    val bInfo = spark.sparkContext.broadcast(termInfo)
+    val bucketSize = math.max(1L, h.meta("bucketSize").toLong)
+    val blocks = layeredBlocks(h, qp.terms.map(_.termId))
+      .map { case (seq, b) => BucketRow(b.bucket, seq, Some(b), -1L, 0) }
+    val tombs = h.tombDf.get
+      .select(col("docId").cast("long"), col("tombSeq").cast("int"))
+      .as[(Long, Int)]
+      .map { case (d, s) =>
+        BucketRow((d / bucketSize).toInt, 0, None, d, s)
+      }
+    val parts = math.max(1, math.min(
+      h.meta.get("queryBuckets").map(_.toInt).getOrElse(64),
+      spark.sparkContext.defaultParallelism))
+    val partials = blocks.unionByName(tombs)
+      .repartition(parts, col("bucket"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_.bucket).valuesIterator.flatMap { bs =>
+          val tombLocal = bs.iterator.filter(_.block.isEmpty)
+            .map(r => r.tombDoc -> r.tombSeq).toMap
+          val blks = bs.iterator.filter(_.block.isDefined)
+            .map(r => (r.seq, r.block.get))
+          wandBucket(blks, bInfo.value, avgdl, m, kk, p, tombLocal)
+        }
+      }
+    partials.toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+      .as[(Long, Float)]
+      .collect()
+  }
+
   /** Top-k as driver rows, sorted (score desc, docId asc), length ≤ k —
     * the serving path ([[Search.searchTop]]) consumes this directly so the
     * warm driver-local path runs with ZERO Spark jobs (hot-term block cache
@@ -351,12 +418,16 @@ object Wand {
     // driver — at most one Spark job (the pruned block fetch, skipped on
     // block-cache hits), no shuffle. Block-range disjointness holds
     // index-wide per (term, layer), so a global run is exactly a
-    // one-bucket run.
+    // one-bucket run. NOT taken under tombstone overflow: h.tombMap is
+    // then deliberately empty (collecting it would be the driver-memory
+    // scale-killer), so local liveness filtering would be wrong — the
+    // distributed path below co-partitions the full tombstone frame with
+    // the blocks instead.
     val maxLocal = spark.conf
       .getOption("graft.maxLocalWandPostings").map(_.toLong)
       .getOrElse(4000000L)
     val candVolume = qp.terms.map(_.df).sum
-    if (candVolume <= maxLocal) {
+    if (candVolume <= maxLocal && !h.tombOverflow) {
       return wandBucket(
         h.candidateBlocks(qp.terms.map(_.termId)).iterator,
         termInfo, avgdl, m, kk, p, tomb)
@@ -366,6 +437,9 @@ object Wand {
     }
 
     import spark.implicits._
+    if (h.tombOverflow)
+      return topKTombDistributed(spark, h, qp, method, k, params, termInfo)
+
     val blocks = layeredBlocks(h, qp.terms.map(_.termId))
     val bInfo = spark.sparkContext.broadcast(termInfo)
     val bTomb = spark.sparkContext.broadcast(tomb)

@@ -1,0 +1,113 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Synth
+import graft.index.IndexBuilder
+import graft.query.{IndexHandles, Search}
+
+/** Latency evidence for the DISTRIBUTED dictionary path (SURVEY §7.4 risk
+  * 7): builds an index whose termCount exceeds `graft.maxDriverDictTerms`
+  * (default 1M) — so `Search.plan` takes the distributed expansion branch
+  * for real, not force-flagged — and measures query p50/p99 through it.
+  *
+  * Vocabulary inflation is honest web-shaped data, not a conf trick: every
+  * text-mode doc carries three per-doc unique multi-digit tokens (ids /
+  * hashes / timestamps are exactly what makes real crawl dictionaries
+  * huge); the lexer keeps numeric runs as terms (L2), so ~2 of 3 docs add
+  * 3 unique dictionary entries each.
+  *
+  * Usage: runMain graft.tools.BigDictBench [nDocs] [outFile]
+  * Prints one JSON line; appends a markdown block to BENCH/BASELINE.md
+  * only when run with `--append-md`.
+  */
+object BigDictBench {
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--"))
+    val rest = args.filterNot(_.startsWith("--"))
+    val nDocs = rest.headOption.map(_.toLong).getOrElse(600000L)
+    val outFile = rest.lift(1).getOrElse("/tmp/bigdict.json")
+
+    val spark = ScalingBench.session(
+      Runtime.getRuntime.availableProcessors())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = Files.createTempDirectory("graft_bigdict_").toString
+    val corpusDir = s"$dir/corpus"
+    // per-doc unique numeric tokens (disjoint from Synth's vocab numbers):
+    // uid bases 7e6/8e6/9e6 + doc index
+    val docIdx = element_at(split(col("url"), "/"), 4).cast("long")
+    Synth.pagesDf(spark, nDocs, partitions = 128)
+      .withColumn("text",
+        when(col("text").isNotNull, concat(col("text"),
+          lit(" "), (docIdx + 7000000L).cast("string"),
+          lit(" "), (docIdx + 9000000L).cast("string"),
+          lit(" "), (docIdx + 11000000L).cast("string")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(corpusDir)
+
+    val t0 = System.nanoTime()
+    val metrics = IndexBuilder.build(spark,
+      spark.read.parquet(corpusDir), dir,
+      IndexBuilder.BuildConf(partitions = 64, postingGroups = 4,
+        queryBuckets = 64, buildId = "bigdict", assumeUniqueUrls = true))
+    val buildMs = (System.nanoTime() - t0) / 1000000L
+
+    val h = IndexHandles(spark, dir)
+    require(h.driverDict.isEmpty,
+      s"termCount ${metrics.termCount} did not exceed the driver-dict " +
+        "gate — the distributed branch would not be measured")
+
+    val queries = Seq(
+      ("opengl", Search.Bm25), // exact, head term
+      ("texture array shader", Search.Bm25), // exact multi-term
+      ("missingkeywordthatdoesnotexist", Search.Bm25), // fuzzy, no hit
+      ("textur aray shaderz", Search.Bm25), // fuzzy, 3 typo tokens
+      ("7000042", Search.Bm25)) // exact uid lookup (tlen+term IN pushdown)
+    def percentile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1))
+    }
+    val results = queries.map { case (q, m) =>
+      Search.searchTop(spark, dir, q, m, 10).collect() // warm-up
+      val times = (0 until 10).map { _ =>
+        val t = System.nanoTime()
+        Search.searchTop(spark, dir, q, m, 10).collect()
+        (System.nanoTime() - t) / 1e6
+      }
+      (q, percentile(times, 0.50), percentile(times, 0.99))
+    }
+
+    val qJson = results.map { case (q, p50, p99) =>
+      s""""$q":{"p50":$p50,"p99":$p99}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"bigdict","nDocs":$nDocs,""" +
+        s""""termCount":${metrics.termCount},"buildMs":$buildMs,""" +
+        s""""docsPerSec":${nDocs * 1000.0 / buildMs},""" +
+        s""""queryLatencyMs":$qJson}"""
+    println(line)
+    Files.writeString(Paths.get(outFile), line)
+
+    if (flags.contains("--append-md")) {
+      val md = new StringBuilder("\n## Big-dictionary distributed " +
+        "expansion path (round 4)\n\n")
+      md.append(s"$nDocs docs, **${metrics.termCount} terms** (> the 1M " +
+        "`graft.maxDriverDictTerms` gate → `Search.plan` runs the " +
+        "DISTRIBUTED dictionary branch; `tlen` clustering prunes both " +
+        "scans), local[" +
+        Runtime.getRuntime.availableProcessors() + "]:\n\n")
+      md.append("| query | p50 ms | p99 ms |\n|---|---|---|\n")
+      results.foreach { case (q, p50, p99) =>
+        md.append(f"| $q | $p50%.0f | $p99%.0f |\n")
+      }
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), md.toString,
+        java.nio.file.StandardOpenOption.APPEND)
+      println("appended BENCH/BASELINE.md")
+    }
+    spark.stop()
+  }
+}

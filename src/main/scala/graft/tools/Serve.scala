@@ -99,18 +99,25 @@ object Serve {
     // meta change, so this is exactly the serving-freshness contract.
     def handle(): IndexHandles = IndexHandles(spark, indexDir)
     handle() // warm meta/terms/docs caches before accepting requests
-    // the corpus frame is path-stable — build it ONCE, not per /file
+    // the corpus frame is built ONCE for the hot path, not per /file
     // request (per-request spark.read.parquet pays file listing + footer
-    // reads on the hot path). Accepts either the pages shape (url, text)
-    // or the driver's documents shape (doc_id, text), adapted with the
-    // same url mapping Corpus.documentsAsPages uses.
-    val corpus = corpusDir.map { d =>
+    // reads). Its file listing is frozen at build time, though — docs
+    // appended to corpusDir after startup are invisible to the cached
+    // frame — so a MISS for a url the index knows refreshes the frame
+    // (one re-listing) and retries: streamed-in docs become fetchable at
+    // the cost of one rebuild per corpus change, never per request.
+    // Accepts either the pages shape (url, text) or the driver's documents
+    // shape (doc_id, text), adapted with the same url mapping
+    // Corpus.documentsAsPages uses.
+    def loadCorpus(d: String) = {
       val df = spark.read.parquet(d)
       if (df.columns.contains("url")) df
       else df.withColumn("url",
         org.apache.spark.sql.functions.format_string(
           "doc%012d", $"doc_id"))
     }
+    val corpusRef = new java.util.concurrent.atomic.AtomicReference(
+      corpusDir.map(loadCorpus))
 
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
 
@@ -149,9 +156,19 @@ object Serve {
             val known =
               handle().docs.filter($"url" === url).limit(1).count() > 0
             // corpus = parquet of pages rows (url, ..., text)
-            val text = corpus.filter(_ => known).flatMap { c =>
-              c.filter($"url" === url).select("text")
-                .as[String].collect().headOption
+            def fetch(): Option[String] =
+              corpusRef.get().filter(_ => known).flatMap { c =>
+                c.filter($"url" === url).select("text")
+                  .as[String].collect().headOption
+              }
+            val text = fetch().orElse {
+              // index knows the url but the cached corpus listing doesn't
+              // → the corpus dir grew since the frame was built; re-list
+              // once and retry (see corpusRef comment above)
+              if (known && corpusDir.isDefined) {
+                corpusRef.set(corpusDir.map(loadCorpus))
+                fetch()
+              } else None
             }
             text match {
               case Some(t) => respond(ex, 200, t, "text/plain; charset=utf-8")

@@ -13,7 +13,13 @@ import graft.text.Extract
   * set with BOTH the naive join-aggregate scorer and block-max WAND, and
   * cross-checks each against the in-memory oracle inline.
   *
-  * Usage: runMain graft.tools.SparkSearchCli [nDocs] [query...]
+  * Usage: runMain graft.tools.SparkSearchCli [--served] [nDocs] [query...]
+  *
+  * Default semantics are strict CLI parity with `main.rs:290`: k results
+  * INCLUDING deterministic zero-score padding when fewer than k docs score
+  * positive (`Search.searchTop(padToK = true)` vs `RefModel.searchTopCli`).
+  * `--served` switches both sides to server semantics (positive-only,
+  * `server.rs:86-90`) — the contract [[Serve]] keeps.
   */
 object SparkSearchCli {
 
@@ -30,9 +36,11 @@ object SparkSearchCli {
       .getOrCreate()
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val served = args.contains("--served")
+    val rest = args.filterNot(_ == "--served")
+    val n = rest.headOption.map(_.toInt).getOrElse(2000)
     val queries =
-      if (args.length > 1) Seq(args.drop(1).mkString(" "))
+      if (rest.length > 1) Seq(rest.drop(1).mkString(" "))
       else Seq("opengl", "texture array shader",
         "missingkeywordthatdoesnotexist", "textur aray shaderz")
 
@@ -65,11 +73,14 @@ object SparkSearchCli {
       (method, oracleMethod) <- Seq(
         (Search.Bm25, RefModel.Bm25), (Search.Tfidf, RefModel.Tfidf))
     } {
-      val want = oracle.searchTop(q, oracleMethod, 10)
+      val want =
+        if (served) oracle.searchTop(q, oracleMethod, 10)
+        else oracle.searchTopCli(q, oracleMethod, 10)
       for (useWand <- Seq(false, true)) {
         val label = if (useWand) "wand " else "naive"
         val got = Search
-          .searchTop(spark, dir, q, method, 10, useWand = useWand)
+          .searchTop(spark, dir, q, method, 10, useWand = useWand,
+            padToK = !served)
           .select($"url", $"score").as[(String, Float)].collect().toVector
         val ok = got == want
         if (!ok) mismatches += 1

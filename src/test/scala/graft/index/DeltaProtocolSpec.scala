@@ -1,0 +1,174 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synth
+import graft.oracle.RefModel
+import graft.query.{IndexHandles, Search}
+import graft.text.Extract
+
+/** Round-4 delta-log protocol edges: commit visibility is the `_committed`
+  * marker file (not directory existence), snapshot-parameterized reads,
+  * the absolute tombstone cap, and the distributed-liveness overflow path.
+  */
+class DeltaProtocolSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val conf = IndexBuilder.BuildConf(
+    partitions = 8, postingGroups = 2, queryBuckets = 8)
+
+  private def later(ts: Timestamp): Timestamp =
+    new Timestamp(ts.getTime + 3600 * 1000L)
+
+  private val v1: IndexedSeq[Synth.PageRow] = Synth.pages(120)
+  // v2: delete i%40==7 (3 docs), edit i%9==2, add 10 new
+  private val v2: IndexedSeq[Synth.PageRow] = {
+    val edited = v1.flatMap { p =>
+      val i = p.url.split("/")(3).toLong
+      if (i % 40 == 7) None
+      else if (i % 9 == 2)
+        Some(p.copy(
+          text = s"revised protocol content $i shader texture buffer",
+          html = null, warc_ts = later(p.warc_ts)))
+      else Some(p)
+    }
+    edited ++ (120 until 130).map(i => Synth.page(i.toLong))
+  }
+
+  private def df(rows: IndexedSeq[Synth.PageRow]) =
+    spark.createDataset(rows.map(p =>
+      Schema.Page(p.url, p.warc_ts, p.html, p.text, p.lang))).toDF()
+
+  private def oracleV2: RefModel = {
+    val m = new RefModel()
+    v1.foreach(p => Extract.extractText(p.html, p.text).foreach(t =>
+      m.addDocument(p.url, t, p.warc_ts.getTime)))
+    v2.foreach { p =>
+      if (m.requiresReindexing(p.url, p.warc_ts.getTime))
+        Extract.extractText(p.html, p.text).foreach(t =>
+          m.addDocument(p.url, t, p.warc_ts.getTime))
+    }
+    val visited = v2.map(_.url).toSet
+    m.docs.keys.filterNot(visited).toVector.foreach(m.removeDocument)
+    m
+  }
+
+  private def hfs(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Score-grouped comparison (rank identity modulo equal-score ties —
+    * docId vs url tiebreaks can permute within a tie group).
+    */
+  private def groups(v: Vector[(String, Float)]) =
+    v.groupBy(_._2).toVector.sortBy(-_._1)
+      .map { case (s, rows) => (s, rows.map(_._1).toSet) }
+
+  test("a removed/ directory WITHOUT the _committed marker is invisible: " +
+      "job-setup dirs and in-flight commits never read as committed") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_marker_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    // reconstruct the exact ADVICE scenario: Spark's FileOutputCommitter
+    // has created removed/ (with _temporary) at job setup, data not yet
+    // committed, crash — no _committed marker exists
+    val f = hfs(dir)
+    val rm = new org.apache.hadoop.fs.Path(
+      DeltaLog.removedPath(dir, 1) + "/_temporary/0")
+    f.mkdirs(rm)
+    assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+    assert(DeltaLog.tombstonesDf(spark, dir).isEmpty)
+    // recover() must not wedge on the unreadable half-delta
+    Incremental.recover(spark, dir)
+    assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+    // the retry reuses seq 1, overwrites the orphan, and commits cleanly
+    assert(DeltaLog.nextSeq(spark, dir) == 1)
+    val report = Incremental.update(spark, df(v2), dir,
+      conf.copy(deltaCompactEvery = 100))
+    assert(report.changed)
+    assert(DeltaLog.listSeqs(spark, dir) == Seq(1))
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"${DeltaLog.seqPath(dir, 1)}/_committed")))
+    // and serves the oracle-correct live view
+    val got = Search.searchTop(spark, dir, "revised protocol",
+      Search.Bm25, 100000)
+      .select($"url", $"score").as[(String, Float)].collect().toVector
+    assert(groups(got) == groups(
+      oracleV2.searchTop("revised protocol", RefModel.Bm25, 100000)))
+  }
+
+  test("snapshot-parameterized reads honor the passed seq listing, not " +
+      "the current on-disk state") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    val baseDocs = spark.read.parquet(IndexBuilder.docsPath(dir)).count()
+    Incremental.update(spark, df(v2), dir,
+      conf.copy(deltaCompactEvery = 100))
+    val seqs = DeltaLog.listSeqs(spark, dir)
+    assert(seqs.nonEmpty)
+    // empty snapshot → base only, even though a committed delta exists
+    assert(DeltaLog.docsView(spark, dir, Nil).count() == baseDocs)
+    assert(DeltaLog.tombstonesDf(spark, dir, Nil).isEmpty)
+    assert(DeltaLog.deltaBlocks(spark, dir, Nil).isEmpty)
+    // full snapshot → live view
+    assert(DeltaLog.docsView(spark, dir, seqs).count() ==
+      IndexBuilder.readMeta(spark, dir)("docCount").toLong)
+  }
+
+  test("absolute tombstone cap triggers compaction even when the " +
+      "fraction threshold is far away") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tombcap_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    // fraction 1.0 alone would never fire; cap 2 must (v1→v2 tombstones:
+    // 3 deletions + 13 edits > 2)
+    val report = Incremental.update(spark, df(v2), dir, conf.copy(
+      deltaCompactEvery = 100,
+      tombstoneCompactFraction = 1.0,
+      tombstoneAbsoluteCap = 2L))
+    assert(report.changed && report.compacted)
+    assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+  }
+
+  test("tombstone overflow: no driver collect scales with churn — the " +
+      "distributed liveness path serves oracle-identical results") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tomboverflow_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    // keep the deltas (no compaction) and force the driver-map gate shut
+    Incremental.update(spark, df(v2), dir, conf.copy(
+      deltaCompactEvery = 100,
+      tombstoneCompactFraction = 1.0,
+      tombstoneAbsoluteCap = Long.MaxValue))
+    assert(DeltaLog.listSeqs(spark, dir).nonEmpty)
+    spark.conf.set("graft.maxDriverTombstones", "0")
+    IndexHandles.invalidate(dir)
+    try {
+      val h = IndexHandles(spark, dir)
+      assert(h.tombRows > 0)
+      assert(h.tombOverflow)
+      assert(h.tombMap.isEmpty) // the collect is skipped, not resized
+      val oracle = oracleV2
+      for (q <- Seq("revised protocol content", "texture array shader",
+          "opengl")) {
+        val wand = Search.searchTop(spark, dir, q, Search.Bm25, 100000)
+          .select($"url", $"score").as[(String, Float)].collect().toVector
+        val naive = Search
+          .searchTop(spark, dir, q, Search.Bm25, 100000, useWand = false)
+          .select($"url", $"score").as[(String, Float)].collect().toVector
+        val want = oracle.searchTop(q, RefModel.Bm25, 100000)
+        assert(groups(wand) == groups(want), s"wand overflow path: $q")
+        assert(groups(naive) == groups(want), s"naive overflow path: $q")
+      }
+    } finally {
+      spark.conf.unset("graft.maxDriverTombstones")
+      IndexHandles.invalidate(dir)
+    }
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.{length, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -181,8 +182,10 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("multimodal: schema + determinism + frame sampling shape") {
-    val m1 = Multimodal.imageMeta(spark, dir).collect()
-    val m2 = Multimodal.imageMeta(spark, dir).collect()
+    // ops return unsorted frames (pipeline contract); compare as sets of
+    // row-strings so determinism is judged on content, not partition order
+    val m1 = Multimodal.imageMeta(spark, dir).collect().map(_.toString).sorted
+    val m2 = Multimodal.imageMeta(spark, dir).collect().map(_.toString).sorted
     assert(m1.sameElements(m2))
     assert(m1.length == 8)
     val frames = Multimodal.frameSample(spark, dir, frameChars = 16,
@@ -220,5 +223,33 @@ class OpsSpec extends AnyFunSuite {
     // synthPng is deterministic (same bytes, same decode) across calls
     assert(Multimodal.synthPng(30L)._1.sameElements(
       Multimodal.synthPng(30L)._1))
+  }
+
+  test("LiveResultCache keys on content: a rewritten input at the SAME " +
+      "path misses the memo and recomputes") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_cachefp_").toString
+    def write(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$d/documents.parquet")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // two exact dup groups → simhash finds the (0,1) pair
+    write(Seq(0L -> base, 1L -> base,
+      2L -> "one two three four five six seven eight nine ten"))
+    val first = Dedup.simhashPairs(spark, d)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(first == Set((0L, 1L)))
+    // rewrite the SAME path: doc 1 no longer duplicates doc 0, doc 2 does
+    write(Seq(0L -> base, 1L -> "unrelated words here entirely different",
+      2L -> base))
+    val second = Dedup.simhashPairs(spark, d)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // a (path, params)-only key would have served the stale (0,1) result
+    assert(second == Set((0L, 2L)))
   }
 }
