@@ -66,19 +66,24 @@ object Search {
       case Some(dict) =>
         // small dictionary: expand locally — no Spark job. Same semantics
         // as the distributed branch below (and as model.rs:96, which scans
-        // the whole dictionary per token).
+        // the whole dictionary per token). TokenMatcher ≡ matchTerm
+        // (property-tested), with the term's byte length computed once per
+        // TERM instead of once per (term, token).
         val exactSet = exactOnly.map(_._1).toSet
+        val matchers = fuzzy.map { case (tok, _) =>
+          new Expand.TokenMatcher(tok)
+        }
         val out = Array.newBuilder[(Long, String, Long, Float)]
         var i = 0
         while (i < dict.length) {
           val t = dict(i)
           if (exactSet.contains(t.term)) out += ((t.termId, t.term, t.df, 1.0f))
-          else if (fuzzy.nonEmpty) {
+          else if (matchers.nonEmpty) {
+            val tlen = Expand.utf8Len(t.term)
             var best = -1.0f
-            fuzzy.foreach { case (tok, qlen) =>
-              Expand.matchTerm(tok, qlen, t.term).foreach { w =>
-                if (w > best) best = w
-              }
+            matchers.foreach { m =>
+              val w = m.weight(t.term, tlen)
+              if (w > best) best = w
             }
             if (best >= 0.0f) out += ((t.termId, t.term, t.df, best))
           }
@@ -94,11 +99,11 @@ object Search {
         val tlenCol =
           if (h.terms.columns.contains("tlen")) $"tlen"
           else octet_length($"term")
-        val terms = h.terms.as[TermEntry]
+        val terms = h.terms
         val exactPart =
           if (exactOnly.isEmpty)
             spark.emptyDataset[(Long, String, Long, Float)]
-          else terms
+          else terms.as[TermEntry]
             // exact lookups hit only rows whose byte length equals a query
             // token's — the tlen equality set reuses the (tlen, term)
             // clustering for free row-group pruning on >1M-term dictionaries
@@ -108,22 +113,44 @@ object Search {
         val fuzzyPart =
           if (fuzzy.isEmpty) spark.emptyDataset[(Long, String, Long, Float)]
           else {
-            val maxLen = fuzzy.map { case (_, l) =>
-              math.max((l * 1.7).toInt, l + 2)
-            }.max
-            val fz = fuzzy // stable local for closure
+            // COMPLETE pushdown (no false negatives — property-tested
+            // against matchTerm): every reference match is either
+            //   (a) a prefix pair — the term extends the token
+            //       (startsWith range; weight ≥ 0.5 ⇒ tlen ≤ 1.7·qlen,
+            //       +1 for Float-boundary safety), or the token extends
+            //       the term (≤ |tok| explicit prefixes, IN list), or
+            //   (b) inside the Levenshtein byte-length window
+            //       tlen ∈ [qlen−budget, qlen+budget].
+            // The disjunction replaces the coarse `tlen ≤ 1.7·maxQlen`
+            // scan: on a tlen-clustered 1.2M-term dictionary the window
+            // predicates prune most cached batches before the match loop.
+            val cond = fuzzy.map { case (tok, qlen) =>
+              val budget = Expand.maxDist(qlen)
+              val levWin = tlenCol.between(qlen - budget, qlen + budget)
+              val prefixA = $"term".startsWith(tok) &&
+                tlenCol <= (1.7 * qlen).toInt + 1
+              val prefixes = Expand.pushdownPrefixes(tok)
+              if (prefixes.isEmpty) levWin || prefixA
+              else levWin || prefixA || $"term".isin(prefixes: _*)
+            }.reduce(_ || _)
+            val fz = fuzzy.map(_._1) // stable local for closure
             terms
-              .filter(tlenCol <= maxLen)
-              .flatMap { t =>
-                var best = -1.0f
-                fz.foreach { case (tok, qlen) =>
-                  Expand.matchTerm(tok, qlen, t.term).foreach { w =>
+              .filter(cond)
+              .select($"termId", $"term", $"df",
+                tlenCol.cast("int").as("tlen"))
+              .as[(Long, String, Long, Int)]
+              .mapPartitions { it =>
+                val matchers = fz.map(new Expand.TokenMatcher(_))
+                it.flatMap { case (termId, term, df, tlen) =>
+                  var best = -1.0f
+                  matchers.foreach { m =>
+                    val w = m.weight(term, tlen)
                     if (w > best) best = w
                   }
+                  if (best >= 0.0f)
+                    Iterator.single((termId, term, df, best))
+                  else Iterator.empty
                 }
-                if (best >= 0.0f)
-                  Iterator.single((t.termId, t.term, t.df, best))
-                else Iterator.empty
               }
           }
         exactPart.union(fuzzyPart).collect()

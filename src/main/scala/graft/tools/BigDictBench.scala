@@ -35,20 +35,31 @@ object BigDictBench {
       Runtime.getRuntime.availableProcessors())
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = Files.createTempDirectory("graft_bigdict_").toString
+    // --keep reuses a fixed dir across runs (skips the rebuild when its
+    // meta is present) so QueryProfile can iterate on the same index
+    val keep = flags.contains("--keep")
+    val dir =
+      if (keep) s"/tmp/graft_bigdict_keep_$nDocs"
+      else Files.createTempDirectory("graft_bigdict_").toString
     val corpusDir = s"$dir/corpus"
-    // per-doc unique numeric tokens (disjoint from Synth's vocab numbers):
-    // uid bases 7e6/8e6/9e6 + doc index
-    val docIdx = element_at(split(col("url"), "/"), 4).cast("long")
-    Synth.pagesDf(spark, nDocs, partitions = 128)
-      .withColumn("text",
-        when(col("text").isNotNull, concat(col("text"),
-          lit(" "), (docIdx + 7000000L).cast("string"),
-          lit(" "), (docIdx + 9000000L).cast("string"),
-          lit(" "), (docIdx + 11000000L).cast("string")))
-          .otherwise(col("text")))
-      .write.mode("overwrite").parquet(corpusDir)
-
+    val haveIndex = keep && {
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.json"))
+    }
+    if (!haveIndex) {
+      // per-doc unique numeric tokens (disjoint from Synth's vocab
+      // numbers): uid bases 7e6/9e6/11e6 + doc index
+      val docIdx = element_at(split(col("url"), "/"), 4).cast("long")
+      Synth.pagesDf(spark, nDocs, partitions = 128)
+        .withColumn("text",
+          when(col("text").isNotNull, concat(col("text"),
+            lit(" "), (docIdx + 7000000L).cast("string"),
+            lit(" "), (docIdx + 9000000L).cast("string"),
+            lit(" "), (docIdx + 11000000L).cast("string")))
+            .otherwise(col("text")))
+        .write.mode("overwrite").parquet(corpusDir)
+    }
     val t0 = System.nanoTime()
     val metrics = IndexBuilder.build(spark,
       spark.read.parquet(corpusDir), dir,

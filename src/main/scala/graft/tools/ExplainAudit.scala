@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{Corpus, Dedup, FtSql}
+import graft.ops.{Corpus, Dedup, FtSql, Multimodal, TextStats}
 import graft.query.{IndexHandles, Search}
 
 /** Dumps formatted physical plans of the hot paths so pushdowns, partition
@@ -49,6 +49,28 @@ object ExplainAudit {
       "the handle has the dictionary persisted)",
       h.terms.filter(col("tlen").isin(4, 5) &&
         col("term").isin("DATA", "QUERI")))
+
+    // pipeline ops must be narrow maps end-to-end: NO Exchange / Sort
+    // nodes (oracle-comparison ordering lives in the SparkEntry wrappers,
+    // not the operators). Assert it, don't just print it.
+    def assertNoGlobalSort(name: String, df: org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val bad = Seq("Exchange", "Sort ").filter(plan.contains)
+      println(s"$name: ${if (bad.isEmpty) "narrow (no Exchange/Sort) ✓"
+        else s"UNEXPECTED ${bad.mkString(",")} in plan ✗"}")
+      require(bad.isEmpty, s"$name plan contains ${bad.mkString(",")}")
+    }
+    assertNoGlobalSort("text_langid op frame", TextStats.langId(spark, sfDir))
+    assertNoGlobalSort("text_quality op frame", TextStats.quality(spark, sfDir))
+    assertNoGlobalSort("text_token_counts op frame",
+      TextStats.tokenCounts(spark, sfDir))
+    assertNoGlobalSort("text_fingerprints op frame",
+      TextStats.fingerprints(spark, sfDir))
+    assertNoGlobalSort("mm_image_meta op frame",
+      Multimodal.imageMeta(spark, sfDir))
+    assertNoGlobalSort("mm_frame_sample op frame",
+      Multimodal.frameSample(spark, sfDir))
 
     spark.stop()
   }

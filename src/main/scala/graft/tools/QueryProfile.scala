@@ -54,6 +54,40 @@ object QueryProfile {
     time("blocks scan only (count)") {
       h.blocksFor(qp.terms.map(_.termId)).count()
     }
+    time("dict cached scan (count)") {
+      h.terms.count()
+    }
+    // deliberately the PRE-round-4 expansion shape (coarse tlen ≤ 1.7·max
+    // filter + per-pair matchTerm with full DP + allocations): kept as the
+    // in-place A/B against "plan (expansion)" above, which now runs the
+    // banded TokenMatcher over the tight pushdown (measured 1.26 s → 0.36 s
+    // on the 1.2M-term dictionary)
+    time("dict fuzzy scan LEGACY shape (count)") {
+      import org.apache.spark.sql.functions.{col, octet_length}
+      import spark.implicits._
+      val toks = graft.text.Lexer.tokenize(query).toVector.distinct
+        .map(t => (t, graft.query.Expand.utf8Len(t)))
+        .filter { case (_, l) => graft.query.Expand.maxDist(l) > 0 }
+      if (toks.nonEmpty) {
+        val maxLen = toks.map { case (_, l) =>
+          math.max((l * 1.7).toInt, l + 2) }.max
+        val tlenCol =
+          if (h.terms.columns.contains("tlen")) col("tlen")
+          else octet_length(col("term"))
+        h.terms.as[graft.index.Schema.TermEntry]
+          .filter(tlenCol <= maxLen)
+          .flatMap { t =>
+            var best = -1.0f
+            toks.foreach { case (tok, qlen) =>
+              graft.query.Expand.matchTerm(tok, qlen, t.term).foreach { w =>
+                if (w > best) best = w
+              }
+            }
+            if (best >= 0.0f) Iterator.single((t.termId, best))
+            else Iterator.empty
+          }.count()
+      }
+    }
     locally {
       import org.apache.spark.sql.functions.{col, struct}
       import spark.implicits._
