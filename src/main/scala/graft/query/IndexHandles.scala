@@ -93,6 +93,25 @@ final class IndexHandles private (
   private def parts(rows: Long): Int =
     math.max(1, math.min(256, (rows / 1000000L).toInt + 1))
 
+  /** Version salt on every frame this handle PERSISTS. Spark's
+    * CacheManager substitutes cached data by canonicalized-plan equality,
+    * and `InMemoryFileIndex.equals` compares ROOT PATHS only — file
+    * contents and listings don't participate. Without the salt, the handle
+    * created after an incremental commit builds byte-identical plans over
+    * the same paths and silently RE-ATTACHES to the displaced handle's
+    * still-cached (stale — it has a 60 s release grace) tables: a
+    * freshly-committed doc then doesn't exist for queries until the grace
+    * expires (caught by ServeSpec's freshness test). The salt is a
+    * constant-true filter on a literal derived from this index VERSION, so
+    * same-version handles still share cache while cross-version plans can
+    * never canonicalize equal. meta includes wallMs + deltaSeq, so every
+    * rebuild and every commit changes it.
+    */
+  private val versionSalt: Int =
+    scala.util.hashing.MurmurHash3.unorderedHash(meta)
+  private def salted(df: DataFrame): DataFrame =
+    df.filter(lit(versionSalt) === lit(versionSalt))
+
   private val maxDriverDictTerms: Long = spark.conf
     .getOption("graft.maxDriverDictTerms").map(_.toLong)
     .getOrElse(1000000L)
@@ -120,7 +139,7 @@ final class IndexHandles private (
           raw.repartitionByRange(p, col("tlen"), col("term"))
         else raw.repartition(p)
       }
-    sized.persist(StorageLevel.MEMORY_AND_DISK)
+    salted(sized).persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Driver-local dictionary when it's small enough (default ≤ 1M terms,
@@ -146,8 +165,7 @@ final class IndexHandles private (
       if (deltaSeqs.isEmpty) base.select("docId", "url")
       else DeltaLog.docsView(spark, indexDir, deltaSeqs)
         .select("docId", "url")
-    live
-      .coalesce(parts(meta("docCount").toLong))
+    salted(live.coalesce(parts(meta("docCount").toLong)))
       .persist(
         if (meta("docCount").toLong <= 50000000L)
           StorageLevel.MEMORY_AND_DISK
@@ -176,7 +194,7 @@ final class IndexHandles private (
   private val blocksDf: DataFrame = {
     val df = spark.read.parquet(IndexBuilder.blocksPath(indexDir))
     if (cacheBlocks)
-      df.coalesce(blockParts(meta("postingCount").toLong))
+      salted(df.coalesce(blockParts(meta("postingCount").toLong)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     else df
   }
@@ -185,7 +203,8 @@ final class IndexHandles private (
   private val deltaBlocksDf: Option[DataFrame] =
     DeltaLog.deltaBlocks(spark, indexDir, deltaSeqs)
       .map(df => if (cacheBlocks)
-        df.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK) else df)
+        salted(df.coalesce(1)).persist(StorageLevel.MEMORY_AND_DISK)
+      else df)
 
   /** Candidate blocks across base + delta layers, with a `_seq` layer
     * column (base = 0). Base is group- and termId-pruned at the parquet

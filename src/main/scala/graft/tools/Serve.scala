@@ -91,6 +91,23 @@ object Serve {
 
     val spark = SparkSearchCli.localSession("*")
     spark.sparkContext.setLogLevel("ERROR")
+    start(spark, indexDir, port, method, corpusDir)
+    println(s"serving index $indexDir on http://localhost:$port " +
+      s"(method=${if (method == Search.Bm25) "bm25" else "tfidf"})")
+    // keep the foreground thread alive; ctrl-c stops
+    Thread.currentThread().join()
+  }
+
+  /** Builds and starts the server (port 0 = ephemeral, read the bound port
+    * off the returned server). Extracted from main so ServeSpec can drive
+    * the REAL endpoints over HTTP.
+    */
+  def start(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      port: Int,
+      method: Search.Method,
+      corpusDir: Option[String]): HttpServer = {
     import spark.implicits._
     // per-REQUEST handle resolution (one small meta read): a handle
     // captured at startup would go stale on the first incremental /
@@ -185,9 +202,6 @@ object Serve {
       else respond(ex, 404, """"not found""""))
 
     server.start()
-    println(s"serving index $indexDir on http://localhost:$port " +
-      s"(method=${if (method == Search.Bm25) "bm25" else "tfidf"})")
-    // keep the foreground thread alive; ctrl-c stops
-    Thread.currentThread().join()
+    server
   }
 }

@@ -1,0 +1,127 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synth
+import graft.index.{Incremental, IndexBuilder, Schema}
+import graft.query.Search
+
+/** Drives the REAL serving layer over HTTP (server.rs analog contract):
+  * response shapes, the docs-table traversal guard, per-request handle
+  * freshness after an incremental commit, and the round-4 corpus re-list
+  * on a /file miss for a streamed-in doc.
+  */
+class ServeSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val conf = IndexBuilder.BuildConf(
+    partitions = 8, postingGroups = 2, queryBuckets = 8)
+
+  private val pages: IndexedSeq[Synth.PageRow] = Synth.pages(80)
+
+  private def pagesDf(rows: Seq[Synth.PageRow]) =
+    spark.createDataset(rows.map(p =>
+      Schema.Page(p.url, p.warc_ts, p.html, p.text, p.lang))).toDF()
+
+  private lazy val (indexDir, corpusDir, serverPort) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_serve_").toString
+    val idx = s"$dir/index"
+    val corpus = s"$dir/corpus"
+    pagesDf(pages).write.mode("overwrite").parquet(corpus)
+    IndexBuilder.build(spark, pagesDf(pages), idx, conf)
+    val server = Serve.start(spark, idx, 0, Search.Bm25, Some(corpus))
+    (idx, corpus, server.getAddress.getPort)
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$serverPort$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$serverPort$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /api/search returns the reference serde shape, identical to " +
+      "searchTop") {
+    val r = post("/api/search", "texture array shader")
+    assert(r.statusCode() == 200)
+    // serde shape of Vec<(PathBuf, f32)>: [["url", score], ...]
+    val urls = """\["([^"]+)",""".r
+      .findAllMatchIn(r.body()).map(_.group(1)).toVector
+    assert(urls.nonEmpty)
+    val want = Search
+      .searchTop(spark, indexDir, "texture array shader", Search.Bm25, 10)
+      .select($"url").as[String].collect().toVector
+    assert(urls == want)
+  }
+
+  test("GET /api/stats mirrors server.rs:112-122") {
+    val r = get("/api/stats")
+    assert(r.statusCode() == 200)
+    val meta = IndexBuilder.readMeta(spark, indexDir)
+    assert(r.body() ==
+      s"""{"doc_count":${meta("docCount")},""" +
+        s""""unique_term_count":${meta("termCount")}}""")
+  }
+
+  test("GET /file serves indexed urls only (traversal guard analog)") {
+    val textDoc = pages.find(_.html == null).get
+    val enc = java.net.URLEncoder.encode(textDoc.url, "UTF-8")
+    val hit = get(s"/file?path=$enc")
+    assert(hit.statusCode() == 200)
+    assert(hit.body() == textDoc.text)
+    assert(get("/file?path=https%3A%2F%2Fevil%2Fetc%2Fpasswd")
+      .statusCode() == 404)
+    assert(get("/file").statusCode() == 400)
+  }
+
+  test("GET / serves the embedded page") {
+    val r = get("/")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("graft search"))
+    assert(get("/nope").statusCode() == 404)
+  }
+
+  test("per-request freshness: an incremental commit and a corpus append " +
+      "are visible without restart (stats + search + /file re-list)") {
+    val before = get("/api/stats").body()
+    val newPage = Synth.page(5000L).copy(
+      text = "freshserve sentinel document texture",
+      html = null,
+      warc_ts = new Timestamp(pages.map(_.warc_ts.getTime).max + 7200000L))
+    // stream-shaped upsert: index first, then the corpus dir grows (the
+    // /file fetch must re-list the corpus frame it cached at startup)
+    val report = Incremental.update(spark, pagesDf(IndexedSeq(newPage)),
+      indexDir, conf, purgeVanished = false)
+    assert(report.changed && report.added == 1)
+    pagesDf(IndexedSeq(newPage)).write.mode("append").parquet(corpusDir)
+
+    val after = get("/api/stats").body()
+    assert(after != before) // doc_count bumped via per-request handle
+    // engine-level first: localizes a failure to Search vs the HTTP layer
+    val direct = Search
+      .searchTop(spark, indexDir, "freshserve", Search.Bm25, 10)
+      .select($"url").as[String].collect().toVector
+    assert(direct.contains(newPage.url), s"engine direct: $direct")
+    val hits = post("/api/search", "freshserve").body()
+    assert(hits.contains(newPage.url))
+    val enc = java.net.URLEncoder.encode(newPage.url, "UTF-8")
+    val r = get(s"/file?path=$enc")
+    assert(r.statusCode() == 200)
+    assert(r.body() == newPage.text)
+  }
+}
