@@ -110,11 +110,16 @@ object Extract {
     }
   }
 
-  /** S8 row rule: html non-null → S5 XML extraction, else `text` verbatim.
-    * Returns None when the doc must be skipped (malformed XML, or both
-    * columns null).
+  /** S8 row rule (the table analog of the reference's extension dispatch,
+    * `main.rs:93-108`): a non-null `html` column is dispatched on CONTENT
+    * — `%PDF-` magic → S7 PDF extraction ([[Pdf.extractText]]), else S5
+    * XML extraction; a null `html` passes `text` through verbatim (S6).
+    * Returns None when the doc must be skipped (malformed payload, or
+    * both columns null) — `main.rs:196-202`.
     */
   def extractText(html: Array[Byte], text: String): Option[String] =
-    if (html != null) extractXml(html)
-    else Option(text)
+    if (html != null) {
+      if (Pdf.looksLikePdf(html)) Pdf.extractText(html)
+      else extractXml(html)
+    } else Option(text)
 }

@@ -1,0 +1,154 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.index.{IndexBuilder, Schema}
+import graft.query.Search
+
+/** S7: PDF text extraction (subset extractor, `text/Pdf.scala`) — content
+  * streams built by hand so every byte of the fixture is understood, plus
+  * the S8 content dispatch and an end-to-end index-and-search pass over a
+  * corpus row whose `html` column carries a PDF.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  /** Minimal single-page PDF around the given content stream. `flate`
+    * compresses the stream with zlib (`/FlateDecode`).
+    */
+  private def pdf(content: String, flate: Boolean = false): Array[Byte] = {
+    val raw = content.getBytes(StandardCharsets.ISO_8859_1)
+    val data =
+      if (!flate) raw
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw)
+        d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+      }
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val head =
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/MediaBox [0 0 612 792] >> endobj\n" +
+        s"4 0 obj << /Length ${data.length}$filter >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head)
+    out.write(data)
+    out.write(tail)
+    out.toByteArray
+  }
+
+  test("Tj + ' show text with per-line newlines") {
+    val b = pdf("BT /F1 12 Tf 72 720 Td (Hello pdf world) Tj " +
+      "(second line text) ' ET")
+    assert(Pdf.extractText(b).contains("Hello pdf world\nsecond line text\n"))
+  }
+
+  test("TJ array concatenates strings, ignores kerning numbers") {
+    val b = pdf("BT 72 720 Td [(tex) -20 (ture) 5 ( shader)] TJ ET")
+    assert(Pdf.extractText(b).contains("texture shader\n"))
+  }
+
+  test("literal-string escapes, octal, nesting, hex strings") {
+    val b = pdf("""BT (a\(b\)c\\d \101\102) Tj (nested (parens) ok) Tj """ +
+      "<48454C4C4F> Tj ET")
+    assert(Pdf.extractText(b).contains("a(b)c\\d ABnested (parens) okHELLO\n"))
+  }
+
+  test("UTF-16BE strings decode via BOM") {
+    // FEFF 0054 0065 0078 0074 = "Text"
+    val b = pdf("BT <FEFF0054006500780074> Tj ET")
+    assert(Pdf.extractText(b).contains("Text\n"))
+  }
+
+  test("FlateDecode stream extracts identically to plain") {
+    val content = "BT 72 720 Td (compressed payload words) Tj ET"
+    assert(Pdf.extractText(pdf(content, flate = true)) ==
+      Pdf.extractText(pdf(content)))
+    assert(Pdf.extractText(pdf(content, flate = true))
+      .contains("compressed payload words\n"))
+  }
+
+  test("two content streams concatenate in file order (page order for " +
+      "sequentially written documents)") {
+    val one = pdf("BT (page one text) Tj ET")
+    val twoStream = ("5 0 obj << /Length 24 >>\nstream\n" +
+      "BT (page two text) Tj ET\nendstream endobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(one)
+    out.write(twoStream)
+    val text = Pdf.extractText(out.toByteArray)
+    assert(text.contains("page one text\npage two text\n"))
+  }
+
+  test("image/font streams are skipped, not decoded as text") {
+    val one = pdf("BT (real text) Tj ET")
+    val img = ("6 0 obj << /Subtype /Image /Length 12 >>\nstream\n" +
+      "(fake) Tj ET\nendstream endobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(one)
+    out.write(img)
+    assert(Pdf.extractText(out.toByteArray).contains("real text\n"))
+    assert(!Pdf.extractText(out.toByteArray).get.contains("fake"))
+  }
+
+  test("error semantics: non-PDF bytes and corrupt-only streams → None " +
+      "(doc skipped, old version survives); text-free PDF → empty text") {
+    assert(Pdf.extractText("not a pdf".getBytes).isEmpty)
+    assert(Pdf.extractText(null).isEmpty)
+    // corrupt flate: declared FlateDecode, garbage bytes
+    val corrupt = ("%PDF-1.4\n1 0 obj << /Length 9 /Filter /FlateDecode >>" +
+      "\nstream\nGARBAGE!!\nendstream endobj\n%%EOF\n").getBytes
+    assert(Pdf.extractText(corrupt).isEmpty)
+    // readable but no text operators at all
+    assert(Pdf.extractText("%PDF-1.4\ntrailer << >>\n%%EOF\n".getBytes)
+      .contains(""))
+  }
+
+  test("S8 content dispatch: %PDF- html routes to the PDF extractor, XML " +
+      "html still routes to StAX, text rows pass through") {
+    val p = pdf("BT (dispatched pdf content) Tj ET")
+    assert(Extract.extractText(p, null)
+      .contains("dispatched pdf content\n"))
+    assert(Extract.extractText(
+      "<r><a>xml here</a></r>".getBytes(StandardCharsets.UTF_8), null)
+      .contains("xml here "))
+    assert(Extract.extractText(null, "plain text").contains("plain text"))
+  }
+
+  test("end-to-end: a corpus row carrying a PDF html column is indexed " +
+      "and searchable") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pdfidx_").toString
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val rows = Seq(
+      Schema.Page("https://x.example/1/doc.pdf", ts,
+        pdf("BT (pdfuniqueterm inside document) Tj ET", flate = true),
+        null, "en"),
+      Schema.Page("https://x.example/2/page.txt", ts, null,
+        "ordinary text document", "en"))
+    IndexBuilder.build(spark, spark.createDataset(rows).toDF(), dir,
+      IndexBuilder.BuildConf(partitions = 4, postingGroups = 2,
+        queryBuckets = 4))
+    val hits = Search
+      .searchTop(spark, dir, "pdfuniqueterm", Search.Bm25, 5)
+      .select($"url").as[String].collect()
+    assert(hits.sameElements(Array("https://x.example/1/doc.pdf")))
+  }
+}
