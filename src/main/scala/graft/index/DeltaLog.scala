@@ -59,8 +59,15 @@ object DeltaLog {
     val out = f.create(tmp, true)
     out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    if (f.exists(dest)) f.delete(dest, false)
-    f.rename(tmp, dest)
+    // rename FIRST: POSIX (and HDFS overwrite-rename) atomically replaces
+    // dest, so concurrent readers see old or new content with no
+    // absent-file window. Only a filesystem whose rename refuses to
+    // overwrite takes the delete+retry fallback (which has a window, but
+    // beats failing the write).
+    if (!f.rename(tmp, dest)) {
+      if (f.exists(dest)) f.delete(dest, false)
+      f.rename(tmp, dest)
+    }
   }
 
   /** Highest seq folded into the base by [[Incremental.compact]]; seqs at
@@ -97,6 +104,15 @@ object DeltaLog {
     * separate file written atomically (temp + rename) strictly after the
     * tombstone parquet job commits ([[commitDelta]]), so visibility flips
     * in one rename.
+    *
+    * Back-compat: deltas committed by the pre-marker code have no
+    * `_committed` file — treating them as uncommitted would silently drop
+    * committed data (deleted docs resurrect) and then let nextSeq
+    * OVERWRITE their dirs. Those deltas do carry `removed/_SUCCESS`
+    * (written by the committer at JOB COMMIT, i.e. strictly after the
+    * tombstone data), so a seq also reads as committed on that job-commit
+    * artifact: exactly the alternative gate the visibility fix allows, and
+    * never true for a crashed/in-flight write.
     */
   def listSeqs(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
@@ -107,7 +123,8 @@ object DeltaLog {
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("seq_") => s.stripPrefix("seq_").toInt }
       .filter(s => s > floor &&
-        f.exists(new Path(committedMarker(dir, s))))
+        (f.exists(new Path(committedMarker(dir, s))) ||
+          f.exists(new Path(s"${removedPath(dir, s)}/_SUCCESS"))))
       .sorted
   }
 

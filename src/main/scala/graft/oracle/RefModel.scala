@@ -152,7 +152,10 @@ final class RefModel(params: Scoring.Params = Scoring.Params()) {
     * INCLUDING zero-scored docs when fewer than k score positive. The
     * reference pads in HashMap iteration order — nondeterministic — so
     * this oracle pads by url ASC, which equals the rebuild's docId-asc pad
-    * (docId = url rank; COVERAGE.md divergence #3).
+    * only on FRESH-BUILT indexes (docId = url rank there; incremental
+    * updates assign max+1 ids, breaking the equality — SparkSearchCli
+    * always fresh-builds, so the parity check is sound; don't reuse this
+    * oracle against an updated index). COVERAGE.md divergence #3.
     */
   def searchTopCli(query: String, method: RankMethod, k: Int)
       : Vector[(String, Float)] = {

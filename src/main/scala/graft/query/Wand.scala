@@ -373,15 +373,27 @@ object Wand {
       spark.sparkContext.defaultParallelism))
     val partials = blocks.unionByName(tombs)
       .repartition(parts, col("bucket"))
+      // sort within the partition so buckets can be STREAMED one at a
+      // time: materializing the whole partition (tombRows/parts rows)
+      // would put per-task memory back on the churn axis this path exists
+      // to get off — per-bucket state is all WAND ever needs
+      .sortWithinPartitions(col("bucket"))
       .mapPartitions { it =>
-        val rows = it.toArray
-        rows.groupBy(_.bucket).valuesIterator.flatMap { bs =>
-          val tombLocal = bs.iterator.filter(_.block.isEmpty)
-            .map(r => r.tombDoc -> r.tombSeq).toMap
-          val blks = bs.iterator.filter(_.block.isDefined)
-            .map(r => (r.seq, r.block.get))
-          wandBucket(blks, bInfo.value, avgdl, m, kk, p, tombLocal)
-        }
+        val buf = it.buffered
+        new Iterator[Iterator[(Long, Float)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Float)] = {
+            val bucket = buf.head.bucket
+            val rows = new scala.collection.mutable.ArrayBuffer[BucketRow]()
+            while (buf.hasNext && buf.head.bucket == bucket)
+              rows += buf.next()
+            val tombLocal = rows.iterator.filter(_.block.isEmpty)
+              .map(r => r.tombDoc -> r.tombSeq).toMap
+            val blks = rows.iterator.filter(_.block.isDefined)
+              .map(r => (r.seq, r.block.get))
+            wandBucket(blks, bInfo.value, avgdl, m, kk, p, tombLocal)
+          }
+        }.flatten
       }
     partials.toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc)

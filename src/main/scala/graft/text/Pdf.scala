@@ -59,8 +59,13 @@ object Pdf {
         val s = indexOf(bytes, "stream", i)
         if (s < 0) i = -1
         else {
-          // dict between the previous "<<" ... ">>" pair and "stream"
-          val dictStart = lastIndexOf(bytes, "<<", s)
+          // the stream's WHOLE object header (from the enclosing "obj"
+          // keyword), not just the innermost "<<": a nested dict operand
+          // like /DecodeParms << … >> sits closest to "stream" and would
+          // otherwise hide the outer dict's /Filter and /Subtype keys
+          val objStart = lastIndexOf(bytes, "obj", s)
+          val dictStart =
+            if (objStart >= 0) objStart else lastIndexOf(bytes, "<<", s)
           val dict =
             if (dictStart >= 0)
               new String(bytes, dictStart, s - dictStart,
@@ -76,10 +81,16 @@ object Pdf {
           if (dataEnd < 0) i = -1
           else {
             val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-            // skip streams that cannot hold page text operators
+            // skip streams that cannot hold page text operators:
+            // /Subtype/Image (image XObjects), /Length1 (embedded font
+            // PROGRAMS carry their decompressed length there — /FontFile
+            // lives in the FontDescriptor object, not the stream's own
+            // dict), /ObjStm·/XRef (binary cross-reference containers)
             val isImageOrFont = dict.contains("/Subtype/Image") ||
               dict.contains("/Subtype /Image") ||
-              dict.contains("/FontFile")
+              dict.contains("/Length1") ||
+              dict.contains("/Type/ObjStm") || dict.contains("/Type /ObjStm") ||
+              dict.contains("/Type/XRef") || dict.contains("/Type /XRef")
             if (!isImageOrFont) {
               nStreams += 1
               val decoded =
@@ -87,7 +98,16 @@ object Pdf {
                 else Some(raw)
               decoded.foreach { d =>
                 nDecoded += 1
-                if (appendContentText(d, out)) foundAnyTextOp = true
+                // binary guard: real content streams open with ASCII
+                // operators; font/image/object data starts with struct
+                // bytes. A NUL in the first 64 decoded bytes marks the
+                // stream binary — scanning it could only inject garbage
+                // "text" from accidental BT…Tj byte patterns.
+                val probe = math.min(64, d.length)
+                var bin = false
+                var k = 0
+                while (k < probe && !bin) { bin = d(k) == 0; k += 1 }
+                if (!bin && appendContentText(d, out)) foundAnyTextOp = true
               }
             }
             i = dataEnd + "endstream".length

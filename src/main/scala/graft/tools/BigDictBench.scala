@@ -61,15 +61,23 @@ object BigDictBench {
         .write.mode("overwrite").parquet(corpusDir)
     }
     val t0 = System.nanoTime()
-    val metrics = IndexBuilder.build(spark,
-      spark.read.parquet(corpusDir), dir,
-      IndexBuilder.BuildConf(partitions = 64, postingGroups = 4,
-        queryBuckets = 64, buildId = "bigdict", assumeUniqueUrls = true))
-    val buildMs = (System.nanoTime() - t0) / 1000000L
+    // --keep + existing index: actually skip the build (checkpointed
+    // resume would still pay a multi-second no-op pass) and read the
+    // counts from meta; buildMs/docsPerSec are then not meaningful
+    val (termCount, buildMs) =
+      if (haveIndex)
+        (IndexBuilder.readMeta(spark, dir)("termCount").toLong, -1L)
+      else {
+        val m = IndexBuilder.build(spark,
+          spark.read.parquet(corpusDir), dir,
+          IndexBuilder.BuildConf(partitions = 64, postingGroups = 4,
+            queryBuckets = 64, buildId = "bigdict", assumeUniqueUrls = true))
+        (m.termCount, (System.nanoTime() - t0) / 1000000L)
+      }
 
     val h = IndexHandles(spark, dir)
     require(h.driverDict.isEmpty,
-      s"termCount ${metrics.termCount} did not exceed the driver-dict " +
+      s"termCount $termCount did not exceed the driver-dict " +
         "gate — the distributed branch would not be measured")
 
     val queries = Seq(
@@ -97,8 +105,8 @@ object BigDictBench {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"bigdict","nDocs":$nDocs,""" +
-        s""""termCount":${metrics.termCount},"buildMs":$buildMs,""" +
-        s""""docsPerSec":${nDocs * 1000.0 / buildMs},""" +
+        s""""termCount":${termCount},"buildMs":$buildMs,""" +
+        s""""docsPerSec":${if (buildMs > 0) nDocs * 1000.0 / buildMs else -1.0},""" +
         s""""queryLatencyMs":$qJson}"""
     println(line)
     Files.writeString(Paths.get(outFile), line)
@@ -106,7 +114,7 @@ object BigDictBench {
     if (flags.contains("--append-md")) {
       val md = new StringBuilder("\n## Big-dictionary distributed " +
         "expansion path (round 4)\n\n")
-      md.append(s"$nDocs docs, **${metrics.termCount} terms** (> the 1M " +
+      md.append(s"$nDocs docs, **${termCount} terms** (> the 1M " +
         "`graft.maxDriverDictTerms` gate → `Search.plan` runs the " +
         "DISTRIBUTED dictionary branch; `tlen` clustering prunes both " +
         "scans), local[" +

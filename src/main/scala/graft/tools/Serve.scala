@@ -135,6 +135,10 @@ object Serve {
     }
     val corpusRef = new java.util.concurrent.atomic.AtomicReference(
       corpusDir.map(loadCorpus))
+    // re-list rate limit: a url the index knows but the corpus dir never
+    // receives (lagging/failed append) would otherwise pay a full parquet
+    // re-listing on EVERY /file request — bound it to one per window
+    val lastReload = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
 
@@ -181,8 +185,11 @@ object Serve {
             val text = fetch().orElse {
               // index knows the url but the cached corpus listing doesn't
               // → the corpus dir grew since the frame was built; re-list
-              // once and retry (see corpusRef comment above)
-              if (known && corpusDir.isDefined) {
+              // (rate-limited) and retry once
+              val now = System.currentTimeMillis()
+              val last = lastReload.get()
+              if (known && corpusDir.isDefined && now - last > 2000L &&
+                  lastReload.compareAndSet(last, now)) {
                 corpusRef.set(corpusDir.map(loadCorpus))
                 fetch()
               } else None

@@ -102,6 +102,33 @@ class DeltaProtocolSpec extends AnyFunSuite {
       oracleV2.searchTop("revised protocol", RefModel.Bm25, 100000)))
   }
 
+  test("back-compat: a pre-marker delta (removed/_SUCCESS present, no " +
+      "_committed) still reads as committed — no silent data loss on " +
+      "upgrade") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_oldlayout_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    Incremental.update(spark, df(v2), dir, conf.copy(deltaCompactEvery = 100))
+    val seqs = DeltaLog.listSeqs(spark, dir)
+    assert(seqs == Seq(1))
+    // strip the round-4 marker, leaving exactly the old on-disk layout
+    val f = hfs(dir)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${DeltaLog.seqPath(dir, 1)}/_committed")
+    assert(f.exists(marker))
+    f.delete(marker, false)
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      DeltaLog.removedPath(dir, 1) + "/_SUCCESS")))
+    assert(DeltaLog.listSeqs(spark, dir) == Seq(1)) // still committed
+    assert(DeltaLog.nextSeq(spark, dir) == 2) // and never overwritten
+    graft.query.IndexHandles.invalidate(dir)
+    val got = Search.searchTop(spark, dir, "revised protocol",
+      Search.Bm25, 100000)
+      .select($"url", $"score").as[(String, Float)].collect().toVector
+    assert(groups(got) == groups(
+      oracleV2.searchTop("revised protocol", RefModel.Bm25, 100000)))
+  }
+
   test("snapshot-parameterized reads honor the passed seq listing, not " +
       "the current on-disk state") {
     val dir = java.nio.file.Files

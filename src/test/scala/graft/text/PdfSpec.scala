@@ -106,6 +106,53 @@ class PdfSpec extends AnyFunSuite {
     assert(!Pdf.extractText(out.toByteArray).get.contains("fake"))
   }
 
+  test("nested dict operands don't hide the outer /Filter: FlateDecode " +
+      "with /DecodeParms still decodes") {
+    val content = "BT (nested dict payload) Tj ET"
+    val raw = content.getBytes(StandardCharsets.ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out0 = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out0.write(buf, 0, d.deflate(buf))
+    d.end()
+    val data = out0.toByteArray
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(("%PDF-1.4\n4 0 obj << /Length " + data.length +
+      " /Filter /FlateDecode /DecodeParms << /Columns 4 >> >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    b.write(data)
+    b.write("\nendstream endobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    assert(Pdf.extractText(b.toByteArray).contains("nested dict payload\n"))
+  }
+
+  test("embedded font programs (/Length1) and binary streams never " +
+      "inject garbage text") {
+    // binary blob that happens to contain a plausible BT (x) Tj ET run
+    val binary = Array[Byte](0, 1, 2, 3) ++
+      "BT (sfnt garbage) Tj ET".getBytes(StandardCharsets.ISO_8859_1) ++
+      Array[Byte](0, 0)
+    val one = pdf("BT (real content here) Tj ET")
+    val font = new java.io.ByteArrayOutputStream()
+    font.write(one)
+    font.write((s"7 0 obj << /Length1 34000 /Length ${binary.length} >>" +
+      "\nstream\n").getBytes(StandardCharsets.ISO_8859_1))
+    font.write(binary)
+    font.write("\nendstream endobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    val text = Pdf.extractText(font.toByteArray).get
+    assert(text.contains("real content here"))
+    assert(!text.contains("sfnt garbage"))
+    // and a NUL-leading stream without /Length1 is caught by the binary
+    // probe
+    val noMark = new java.io.ByteArrayOutputStream()
+    noMark.write(one)
+    noMark.write((s"8 0 obj << /Length ${binary.length} >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    noMark.write(binary)
+    noMark.write("\nendstream endobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    assert(!Pdf.extractText(noMark.toByteArray).get.contains("sfnt garbage"))
+  }
+
   test("error semantics: non-PDF bytes and corrupt-only streams → None " +
       "(doc skipped, old version survives); text-free PDF → empty text") {
     assert(Pdf.extractText("not a pdf".getBytes).isEmpty)
