@@ -45,14 +45,20 @@ object SparkEntry {
         .limit(10)
     }),
     "q3_window" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // first-row-per-group as a min_by AGGREGATE, not a row_number
+      // window: the window shape shuffles and SORTS every row per
+      // l_suppkey partition, while min_by partial-aggregates map-side —
+      // one surviving row per (suppkey, map partition) reaches the
+      // shuffle. Identical result (the order tuple is unique per group);
+      // the DuckDB oracle keeps the row_number formulation.
       val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-      li.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("l_suppkey", "l_orderkey", "l_linenumber")
+      li.groupBy("l_suppkey")
+        .agg(min_by(
+          struct(col("l_orderkey"), col("l_linenumber")),
+          struct(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))).as("m"))
+        .select(col("l_suppkey"), col("m.l_orderkey").as("l_orderkey"),
+          col("m.l_linenumber").as("l_linenumber"))
         .orderBy("l_suppkey")
     }),
     "q4_events_agg" -> ((s, dir) =>

@@ -120,7 +120,16 @@ object Ann {
       k: Int = 10,
       planes: Int = 8,
       tables: Int = 8): DataFrame = {
-    val sigs = tableSignatures(spark, sfDir, planes, tables)
+    // the signature scan (tables × planes dot products per vector) feeds
+    // qSig AND the candidate join — and is query-independent, so memoize
+    // it per (input, params) like cosineNearDupPairs' signatures: repeat
+    // queries skip the scan entirely (the per-call broadcast inside
+    // tableSignatures defeats plan-cache matching on its own)
+    val sigs = LiveResultCache.getOrCompute("lshTopKSigs",
+      s"$sfDir|${LiveResultCache.fingerprint(spark,
+        s"$sfDir/embeddings.parquet")}|$planes|$tables") {
+      (tableSignatures(spark, sfDir, planes, tables), Nil)
+    }
     val qSig = sigs.filter(col("vec_id") === queryVecId)
       .select(col("tbl").as("qtbl"), col("sig").as("qsig"))
     val cands = sigs.join(broadcast(qSig),

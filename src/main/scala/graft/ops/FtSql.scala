@@ -72,11 +72,13 @@ object FtSql {
 
   /** Per-doc frame computed in ONE narrow pass (no explode, no shuffle):
     * doc_id, doclen, tf_i per query term — all codegen'd array expressions.
-    * Both scorers derive from this; the global df/avgdl aggregate is a
+    * Both scorers derive from this; the global n/df/avgdl aggregate is a
     * 1-row branch crossJoined back (broadcast NL), so the whole score plan
-    * is: scan → columnwise math → top-k. At 100 TB that is two corpus
-    * scans total (per-doc + 1-row agg) instead of the previous 4
-    * tokenize passes + 3 shuffled joins.
+    * is EXACTLY two corpus scans: per-doc math and the 1-row agg — no
+    * separate count job, no tokenize re-passes, no shuffled joins.
+    * UNFILTERED (empty docs kept): n counts every document (oracle
+    * `count(*) FROM documents`), while avgdl averages non-empty doclens
+    * only; scorers filter doclen > 0 themselves.
     */
   private def perDocTf(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
@@ -87,27 +89,30 @@ object FtSql {
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id") +: size(col("toks")).cast("long").as("doclen")
         +: tfCols: _*)
-      .filter(col("doclen") > 0)
   }
 
-  /** 1-row global frame: avgdl over non-empty docs + df per query term. */
+  /** 1-row global frame: n over ALL docs, avgdl over non-empty docs, df
+    * per query term.
+    */
   private def globalStats(perDoc: DataFrame): DataFrame = {
     val dfAggs = queryTerms.indices.map(i =>
       sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    perDoc.agg(avg(col("doclen")).as("avgdl"), dfAggs: _*)
+    perDoc.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(when(col("doclen") > 0, col("doclen"))).as("avgdl") +: dfAggs: _*)
   }
 
   /** TF-IDF top-20: Σ_t (tf/doclen)·log10(N/df_t); ties → doc_id asc. */
   def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val perDoc = perDocTf(spark, sfDir)
     val contribs = queryTerms.indices.map { i =>
       when(col(s"tf_$i") > 0,
         col(s"tf_$i").cast("double") / col("doclen") *
-          log10(lit(n.toDouble) / col(s"df_$i")))
+          log10(col("n") / col(s"df_$i")))
         .otherwise(0.0)
     }
-    perDoc.crossJoin(broadcast(globalStats(perDoc)))
+    perDoc.filter(col("doclen") > 0)
+      .crossJoin(broadcast(globalStats(perDoc)))
       .filter(queryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
       .withColumn("s", contribs.reduce(_ + _))
       .select(col("doc_id"), round(col("s"), 3).as("score"), col("s"))
@@ -135,14 +140,13 @@ object FtSql {
   /** BM25 top-20 (k1=2.0, b=0.75, textbook idf ln(1+(N-df+0.5)/(df+0.5))).
     */
   def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val perDoc = perDocTf(spark, sfDir)
     val k1 = 2.0
     val b = 0.75
     val contribs = queryTerms.indices.map { i =>
       val tf = col(s"tf_$i")
       val idf: Column = log(
-        lit(1.0) + (lit(n.toDouble) - col(s"df_$i") + 0.5) /
+        lit(1.0) + (col("n") - col(s"df_$i") + 0.5) /
           (col(s"df_$i") + 0.5))
       when(tf > 0,
         idf * tf * (k1 + 1.0) /
@@ -150,7 +154,8 @@ object FtSql {
             / col("avgdl"))))
         .otherwise(0.0)
     }
-    perDoc.crossJoin(broadcast(globalStats(perDoc)))
+    perDoc.filter(col("doclen") > 0)
+      .crossJoin(broadcast(globalStats(perDoc)))
       .filter(queryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
       .withColumn("s", contribs.reduce(_ + _))
       .select(col("doc_id"), round(col("s"), 3).as("score"), col("s"))
