@@ -463,7 +463,17 @@ object IndexBuilder {
       spark: SparkSession,
       indexDir: String,
       updates: Map[String, String]): Unit = {
-    val merged = readMeta(spark, indexDir) ++ updates
+    val prev = readMeta(spark, indexDir)
+    // metaRev: every meta rewrite MUST yield a distinct map. Handle swaps
+    // (IndexHandles.apply) and cache isolation (versionSalt) both key off
+    // meta equality; a rewrite whose visible fields all land on their old
+    // values — compaction recomputing the same bucketSize with deltaSeq
+    // already at compactedThrough — would otherwise salt the fresh
+    // handle's plans identically to the displaced handle's and re-attach
+    // its persisted PRE-compaction blocks/docs (wrong results, not just
+    // staleness: the fold's new postings don't exist in the old cache).
+    val merged = prev ++ updates +
+      ("metaRev" -> (prev.getOrElse("metaRev", "0").toLong + 1L).toString)
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val numeric = "^-?[0-9.eE]+$".r

@@ -199,6 +199,7 @@ object Wand {
         val (w, idf) = termInfo(termId)
         new Cursor(termId, seq, w, idf, bs.map(_._2), avgdl, method, p)
       }
+    if (cursors.isEmpty) return Iterator.empty
     val heap = mutable.PriorityQueue.empty[(Float, Long)](worstFirst)
     val noTombs = tomb.isEmpty
 

@@ -96,6 +96,57 @@ class ServeSpec extends AnyFunSuite {
     assert(get("/nope").statusCode() == 404)
   }
 
+  test("no request ever fails while commits land: search/stats hammered " +
+      "concurrently with an incremental commit + compaction (atomic " +
+      "meta/marker writes + salted handle swaps under real races)") {
+    serverPort // force fixture
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val codes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    (0 until 4).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          while (!stop.get()) {
+            try {
+              val r =
+                if (w % 2 == 0) post("/api/search", "texture array shader")
+                else get("/api/stats")
+              codes.incrementAndGet()
+              if (r.statusCode() != 200)
+                failures.add(s"worker $w: ${r.statusCode()} ${r.body()}")
+            } catch {
+              case e: Exception => failures.add(s"worker $w: $e")
+            }
+          }
+        }
+      })
+    }
+    try {
+      // two commits + a forced compaction while requests are in flight
+      (0 until 2).foreach { round =>
+        val p = Synth.page(6000L + round).copy(
+          text = s"racing commit document $round texture",
+          html = null,
+          warc_ts = new Timestamp(
+            pages.map(_.warc_ts.getTime).max + (round + 3) * 7200000L))
+        val r = Incremental.update(spark, pagesDf(IndexedSeq(p)), indexDir,
+          conf, purgeVanished = false)
+        assert(r.changed)
+      }
+      Incremental.compact(spark, indexDir, conf)
+    } finally {
+      stop.set(true)
+      pool.shutdown()
+      pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    assert(codes.get() > 10, s"only ${codes.get()} requests completed")
+    assert(failures.isEmpty, s"${failures.size} failed: ${failures.peek()}")
+    // and the post-race state serves both racing docs
+    val hits = post("/api/search", "racing").body()
+    assert(hits.contains("6000") && hits.contains("6001"))
+  }
+
   test("per-request freshness: an incremental commit and a corpus append " +
       "are visible without restart (stats + search + /file re-list)") {
     val before = get("/api/stats").body()
