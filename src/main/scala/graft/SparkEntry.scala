@@ -105,6 +105,10 @@ object SparkEntry {
     // ---- similarity search -------------------------------------------------
     "ann_brute_cosine" -> ((s, dir) => Ann.bruteTopK(s, dir)),
     "ann_lsh_cosine" -> ((s, dir) => Ann.lshTopK(s, dir)),
+    // IVF-flat: deterministic spherical k-means cells, nprobe-cell scan.
+    // rows-only (k-means isn't DuckDB-expressible); recall + the
+    // nprobe=nlist ≡ brute degeneracy are OpsSpec-gated.
+    "ann_ivf_cosine" -> ((s, dir) => Ann.ivfTopK(s, dir)),
 
     // ---- text analysis -----------------------------------------------------
     // orderBy here is ORACLE-COMPARISON plumbing, not operator semantics:

@@ -152,6 +152,204 @@ object Ann {
       .select("vec_id", "cos")
   }
 
+  // ---- IVF-flat -----------------------------------------------------------
+
+  /** Bounded driver memo of trained coarse quantizers (nlist × dim doubles
+    * — a few KB each). Keyed like the LiveResultCache entries (input
+    * fingerprint + params) so a rewritten input retrains.
+    */
+  private val centroidMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Double]]]
+
+  private def unitD(v: Array[Float]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+    out
+  }
+
+  private def argmaxDot(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(ct.length, v.length)
+      while (i < n) { s += ct(i) * v(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c } // ties → lowest cell id
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic spherical k-means coarse quantizer: stride-sampled
+    * init (every ⌊N/nlist⌋-th vec_id — no RNG, same clusters on every
+    * train), `iters` Lloyd rounds of assign (argmax dot on unit vectors)
+    * + per-cell mean. Each round is ONE narrow pass emitting nlist
+    * partial (sum, count) rows per partition — the collect is
+    * O(partitions × nlist), never O(N). Empty cells keep their previous
+    * centroid. Drift across core counts can't happen: partial sums merge
+    * on the driver in (partition, cell) order.
+    */
+  def trainIvfCentroids(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    import spark.implicits._
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val n = e.count()
+    val stride = math.max(1L, n / math.max(1, nlist))
+    var cents: Array[Array[Double]] = e
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id")
+      .limit(nlist)
+      .collect()
+      .map(r => unitD(r._2))
+    if (cents.isEmpty) // sparse ids with no stride multiples: first nlist
+      cents = e.orderBy("vec_id").limit(nlist).collect().map(r => unitD(r._2))
+    if (cents.isEmpty) return cents // empty table: nothing to train
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials: Array[(Int, Array[Double], Long)] = e
+        .mapPartitions { rows =>
+          val cs = bc.value
+          val sums = Array.ofDim[Double](cs.length, cs(0).length)
+          val cnts = new Array[Long](cs.length)
+          rows.foreach { case (_, vRaw) =>
+            val v = unitD(vRaw)
+            val cell = argmaxDot(v, cs)
+            val s = sums(cell)
+            var i = 0
+            val d = math.min(s.length, v.length)
+            while (i < d) { s(i) += v(i); i += 1 }
+            cnts(cell) += 1
+          }
+          cnts.indices.iterator.filter(cnts(_) > 0)
+            .map(c => (c, sums(c), cnts(c)))
+        }
+        .collect()
+      val merged = cents.map(_.clone())
+      val counts = new Array[Long](cents.length)
+      partials.foreach { case (c, s, cnt) =>
+        if (counts(c) == 0L) java.util.Arrays.fill(merged(c), 0.0)
+        var i = 0
+        while (i < s.length) { merged(c)(i) += s(i); i += 1 }
+        counts(c) += cnt
+      }
+      cents = merged.zipWithIndex.map { case (s, c) =>
+        if (counts(c) == 0L) cents(c) // empty cell keeps its centroid
+        else {
+          var sq = 0.0
+          var i = 0
+          while (i < s.length) { sq += s(i) * s(i); i += 1 }
+          val norm = math.sqrt(sq)
+          if (norm > 0) s.map(_ / norm) else cents(c)
+        }
+      }
+      bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  /** (vec_id, cell, embedding) — every vector assigned to its nearest
+    * centroid. One narrow pass; memoized + persisted per (input, params).
+    * At 100 TB this frame is what you WRITE, `partitionBy("cell")`, so a
+    * query's scan touches nprobe/nlist of the corpus files (partition
+    * pruning on the cell filter) — the IVF layout of Jégou et al. (IVF
+    * without the PQ compression), with the cells as partition dirs
+    * instead of an in-memory inverted list.
+    */
+  def ivfCells(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int = 16,
+      iters: Int = 5): DataFrame = {
+    val key = s"$sfDir|${LiveResultCache.fingerprint(spark,
+      s"$sfDir/embeddings.parquet")}|$nlist|$iters"
+    val cents = centroidMemo.getOrElseUpdate(key, {
+      if (centroidMemo.size > 8) centroidMemo.clear() // bounded, rebuildable
+      trainIvfCentroids(spark, sfDir, nlist, iters)
+    })
+    LiveResultCache.getOrCompute("ivfCells", key) {
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = emb(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, argmaxDot(unitD(v), bc.value), v) }
+        .toDF("vec_id", "cell", "embedding")
+      (assigned, Nil)
+    }
+  }
+
+  /** IVF-flat ANN top-k: score only the vectors in the `nprobe` cells
+    * whose centroids are nearest the query. Recall < 1 for nprobe <
+    * nlist (neighbors just across a cell boundary are missed — the
+    * standard IVF trade); nprobe = nlist degenerates to exact brute
+    * force (spec-gated ≡ [[bruteTopK]]). The candidate re-rank reuses
+    * bruteTopK's exact cosine expressions, so scores are identical, not
+    * merely close.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      sfDir: String,
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cells = ivfCells(spark, sfDir, nlist, iters)
+    val key = s"$sfDir|${LiveResultCache.fingerprint(spark,
+      s"$sfDir/embeddings.parquet")}|$nlist|$iters"
+    val cents = centroidMemo.getOrElseUpdate(key,
+      trainIvfCentroids(spark, sfDir, nlist, iters))
+    // missing query id → qVec all-zero → arbitrary probes, and the final
+    // crossJoin against the empty query frame yields 0 rows (same contract
+    // as bruteTopK/lshTopK: empty result, not a throw)
+    val qVec = emb(spark, sfDir)
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Array[Float]]
+      .collect().headOption.map(unitD)
+      .getOrElse(new Array[Double](0))
+    val probes: Seq[Int] = cents.indices
+      .map(c => c -> {
+        var s = 0.0
+        var i = 0
+        val d = math.min(cents(c).length, qVec.length)
+        while (i < d) { s += cents(c)(i) * qVec(i); i += 1 }
+        s
+      })
+      .sortBy { case (c, s) => (-s, c) }
+      .take(math.max(1, nprobe))
+      .map(_._1)
+    val q = emb(spark, sfDir)
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    cells
+      .filter(col("cell").isin(probes: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))))
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
+        col("cos").as("c0"))
+      .orderBy(col("c0").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
     *
     * Scale shape: the bucket count (2^planes per table) must GROW with the

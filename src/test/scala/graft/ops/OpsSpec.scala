@@ -113,6 +113,33 @@ class OpsSpec extends AnyFunSuite {
     assert(r.contains(1L)) // eps=0.05 twin shares buckets w.h.p.
   }
 
+  test("ann ivf: nprobe = nlist degenerates to exact brute force") {
+    val brute = Ann.bruteTopK(spark, dir, queryVecId = 0L, k = 5)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toVector
+    val ivf = Ann.ivfTopK(spark, dir, queryVecId = 0L, k = 5,
+      nlist = 3, nprobe = 3, iters = 3)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toVector
+    assert(ivf == brute) // identical rows AND scores, not merely close
+  }
+
+  test("ann ivf: planted cluster found with a single probe; cells " +
+      "partition the corpus; training is deterministic") {
+    // vec 0's cluster (1, 2) shares its cell: one probe must find them
+    val r = Ann.ivfTopK(spark, dir, queryVecId = 0L, k = 3,
+      nlist = 3, nprobe = 1, iters = 3)
+      .select($"vec_id").as[Long].collect().toVector
+    assert(r.take(2).toSet == Set(1L, 2L), s"got $r")
+    val cells = Ann.ivfCells(spark, dir, nlist = 3, iters = 3)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    assert(cells.map(_._1).sorted.toVector == (0L to 5L).toVector,
+      "every vector in exactly one cell")
+    assert(cells.toMap.apply(0L) == cells.toMap.apply(1L))
+    val c1 = Ann.trainIvfCentroids(spark, dir, nlist = 3, iters = 3)
+    val c2 = Ann.trainIvfCentroids(spark, dir, nlist = 3, iters = 3)
+    assert(c1.length == 3 &&
+      c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("embedding cosine near-dup pairs find the planted twins") {
     val pairs = Ann.cosineNearDupPairs(spark, dir, threshold = 0.95)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
