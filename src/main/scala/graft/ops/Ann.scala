@@ -193,8 +193,12 @@ object Ann {
     * + per-cell mean. Each round is ONE narrow pass emitting nlist
     * partial (sum, count) rows per partition — the collect is
     * O(partitions × nlist), never O(N). Empty cells keep their previous
-    * centroid. Drift across core counts can't happen: partial sums merge
-    * on the driver in (partition, cell) order.
+    * centroid. Deterministic for a FIXED input partitioning (partials
+    * merge on the driver in (partition, cell) order); across different
+    * partition counts the float-addition order changes, so centroids can
+    * drift at the ulp level and knife-edge vectors may switch cells —
+    * unlike the index build, bit-identity across core counts is not a
+    * contract here (recall, not ranking, is the IVF contract).
     */
   def trainIvfCentroids(
       spark: SparkSession,
