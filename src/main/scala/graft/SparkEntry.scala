@@ -36,11 +36,17 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
     "q2_join_topk" -> ((s, dir) => {
+      // Aggregate BEFORE joining: o_orderkey is unique, so inner-join-
+      // then-group ≡ group-then-semi-join — but the pre-agg shuffles one
+      // row per ORDER (partial-agg map-side) instead of the whole fact
+      // table, and the semi-join side carries a single column. The DuckDB
+      // oracle keeps the join-first formulation.
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy("l_orderkey")
+      li.groupBy("l_orderkey")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
         .orderBy(col("sum_qty").desc, col("l_orderkey").asc)
         .limit(10)
     }),

@@ -66,7 +66,12 @@ object DeltaLog {
     // beats failing the write).
     if (!f.rename(tmp, dest)) {
       if (f.exists(dest)) f.delete(dest, false)
-      f.rename(tmp, dest)
+      // the destination was just deleted: a second failure must SURFACE,
+      // not silently leave meta.json/_committed/_compacted absent (a
+      // deleted meta is fatal; a deleted commit marker makes a committed
+      // delta invisible)
+      require(f.rename(tmp, dest),
+        s"atomic write failed: rename $tmp -> $dest after delete")
     }
   }
 
@@ -177,9 +182,17 @@ object DeltaLog {
       .select("termId", "docId", "tf", "docLen")
   }
 
-  /** Applies the liveness rule to a frame carrying a `_seq` layer column,
-    * with the tombstone side read from the given seq snapshot and
-    * broadcast (it is compaction-bounded small).
+  /** Applies the liveness rule to a frame carrying a `_seq` layer column.
+    * The tombstone side is usually compaction-bounded small and broadcast —
+    * but a maintenance lull under heavy churn can leave more tombstones
+    * than the driver can collect (a broadcast build side IS a driver
+    * collect, hard-capped at 8 GB by Spark). Gate on the same
+    * `graft.maxDriverTombstones` threshold the query handles use
+    * ([[graft.query.IndexHandles]] tombOverflow): the row count comes from
+    * parquet FOOTERS (driver-side metadata read, no job), and past the cap
+    * the hint is dropped so Spark picks a shuffled SMJ/SHJ — exactly how
+    * the overflowed compaction that is supposed to CLEAR the lull must
+    * read its own input.
     */
   def withLiveness(
       spark: SparkSession, dir: String, layers: DataFrame,
@@ -187,7 +200,13 @@ object DeltaLog {
     tombstonesDf(spark, dir, seqs) match {
       case None => layers.drop("_seq")
       case Some(t) =>
-        layers.join(broadcast(t), Seq("docId"), "left")
+        val cap = spark.conf
+          .getOption("graft.maxDriverTombstones").map(_.toLong)
+          .getOrElse(10000000L)
+        val tombRows = IndexBuilder.footerRowCounts(
+          spark, seqs.map(s => removedPath(dir, s))).sum
+        val side = if (tombRows > cap) t else broadcast(t)
+        layers.join(side, Seq("docId"), "left")
           .filter(col("_seq") >= coalesce(col("tombSeq"), lit(0)))
           .drop("_seq", "tombSeq")
     }

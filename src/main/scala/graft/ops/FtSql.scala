@@ -27,16 +27,33 @@ object FtSql {
     "(SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), " +
       "x -> x <> '')) AS tok FROM documents)"
 
+  /** Per-doc token count as a NARROW codegen'd map — zero shuffles, vs the
+    * naive explode-every-occurrence + groupBy(doc_id) (a full corpus-token
+    * shuffle for a per-row scalar). The `doclen > 0` filter preserves the
+    * SQL twin's semantics: GROUP BY over unnested tokens emits no row for a
+    * zero-token document.
+    */
   def doclen(spark: SparkSession, sfDir: String): DataFrame =
-    tokens(spark, sfDir).groupBy("doc_id")
-      .agg(count(lit(1)).as("doclen"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .cast("long").as("doclen"))
+      .filter(col("doclen") > 0)
 
   val doclenSql: String =
     s"SELECT doc_id, count(*) AS doclen FROM $tokensSqlFrom t GROUP BY doc_id"
 
-  /** Document frequency per term (distinct doc per term). */
+  /** Document frequency per term: dedup per-doc BEFORE the explode
+    * (`array_distinct` is a narrow map), so the plan is one partial-agg
+    * shuffle on tok — vs the old `distinct()` + `groupBy` double wide
+    * stage shuffling every token occurrence twice.
+    */
   def df(spark: SparkSession, sfDir: String): DataFrame =
-    tokens(spark, sfDir).distinct()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        explode(array_distinct(
+          filter(split(lower(col("text")), " "), t => t =!= ""))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
 
   val dfSql: String =

@@ -133,6 +133,14 @@ object Expand {
     private def levBanded(n: Int): Int = {
       val m = tcp.length
       val inf = budget + 1
+      // The caller pre-prunes on UTF-8 BYTE lengths (reference semantics),
+      // but the DP runs over CODE POINTS: for multibyte strings the
+      // codepoint gap can exceed budget even when the byte gap does not.
+      // Without this guard the band never reaches column n (n > m+budget)
+      // and the final prev(n) read would hit a stale cell from a previous
+      // term (the row buffers are reused). True distance ≥ |m−n|, so
+      // anything past the budget may legally collapse to inf.
+      if (math.abs(m - n) > budget) return inf
       if (m == 0) return math.min(n, inf)
       if (n == 0) return math.min(m, inf)
       if (prev.length < n + 2) {

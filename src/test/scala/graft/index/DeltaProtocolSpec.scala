@@ -163,6 +163,48 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaLog.listSeqs(spark, dir).isEmpty)
   }
 
+  test("maintenance-path liveness join drops the broadcast hint past the " +
+      "tombstone cap — the overflowed compaction reads its own input " +
+      "without a driver collect, and compact ≡ oracle stays green") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maintoverflow_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    Incremental.update(spark, df(v2), dir, conf.copy(
+      deltaCompactEvery = 100,
+      tombstoneCompactFraction = 1.0,
+      tombstoneAbsoluteCap = Long.MaxValue))
+    assert(DeltaLog.listSeqs(spark, dir).nonEmpty)
+    // size-based auto-broadcast off: at test scale the tombstone frame is
+    // tiny, so any Broadcast node in the plan can only come from the HINT
+    // this test gates (at 100 TB the size estimate is past the threshold
+    // anyway — the hint is what would force the doomed driver collect)
+    def planOf(frame: org.apache.spark.sql.DataFrame): String =
+      frame.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // under the default cap the hint is present (small side, broadcast)
+      assert(planOf(DeltaLog.postingsView(spark, dir))
+        .contains("BroadcastHashJoin"))
+      spark.conf.set("graft.maxDriverTombstones", "0")
+      assert(!planOf(DeltaLog.postingsView(spark, dir)).contains("Broadcast"),
+        "postingsView still broadcasts past the cap")
+      assert(!planOf(DeltaLog.docsView(spark, dir)).contains("Broadcast"),
+        "docsView still broadcasts past the cap")
+      // the compaction that clears the lull must itself run overflowed
+      Incremental.compact(spark, dir, conf)
+      assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+      val got = Search.searchTop(spark, dir, "revised protocol",
+        Search.Bm25, 100000)
+        .select($"url", $"score").as[(String, Float)].collect().toVector
+      assert(groups(got) == groups(
+        oracleV2.searchTop("revised protocol", RefModel.Bm25, 100000)))
+    } finally {
+      spark.conf.unset("graft.maxDriverTombstones")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      IndexHandles.invalidate(dir)
+    }
+  }
+
   test("tombstone overflow: no driver collect scales with churn — the " +
       "distributed liveness path serves oracle-identical results") {
     val dir = java.nio.file.Files

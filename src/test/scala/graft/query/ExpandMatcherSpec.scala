@@ -95,6 +95,41 @@ class ExpandMatcherSpec extends AnyFunSuite {
     assert(accepts > 500, s"only $accepts accepts — generator too cold")
   }
 
+  test("multibyte length-skew: byte pre-prune passes but codepoint gap " +
+      "exceeds the band — reused buffers must not leak stale cells") {
+    // token 'ééabcdef': 10 UTF-8 bytes (budget 2) but only 8 code points.
+    // A 12-char ASCII term passes the BYTE prune (|10−12| ≤ 2) while its
+    // codepoint length 12 > m+budget+1 = 11 — pre-fix, the band never
+    // reached column n and weight() read a stale prev(12) from whatever
+    // term was matched before. Interleave long near-miss terms (which
+    // write small values high in the row buffers) with skewed terms, in
+    // every pairing, and require ≡ matchTerm throughout.
+    val tok = "ééabcdef"
+    val qlen = Expand.utf8Len(tok)
+    assert(qlen == 10 && tok.codePointCount(0, tok.length) == 8)
+    val planters = Seq( // n within band: fills buffer cells legitimately
+      "ébabcdef", "ééabcdxy", "ééabcdefg", "xéabcdef", "ééabcde")
+    val skewed = Seq( // n = 11..12 > m+budget: must be inf, never stale
+      "aabbccddeeff", "ababcdefxxxx", "eeabcdefxxxx", "ababcdefghi",
+      "zzzzzzzzzzzz")
+    val m = new Expand.TokenMatcher(tok)
+    for (p <- planters; s <- skewed; term <- Seq(p, s, p, s)) {
+      val tlen = Expand.utf8Len(term)
+      val want = Expand.matchTerm(tok, qlen, term).getOrElse(-1.0f)
+      assert(m.weight(term, tlen) == want,
+        s"tok=$tok term=$term: ${m.weight(term, tlen)} != $want")
+    }
+    // symmetric skew: ASCII token vs multibyte term (n < m − budget)
+    val tok2 = "abcdefghijkl" // 12 bytes, 12 cps, budget 2
+    val m2 = new Expand.TokenMatcher(tok2)
+    for (term <- Seq("ééééé", "ééabcdefghij", "ååååå", "abcdefghijk")) {
+      val tlen = Expand.utf8Len(term)
+      val want = Expand.matchTerm(tok2, Expand.utf8Len(tok2), term)
+        .getOrElse(-1.0f)
+      assert(m2.weight(term, tlen) == want, s"tok2 vs $term")
+    }
+  }
+
   test("prefix-ratio Float boundary: tlen = 1.7·qlen pairs survive the " +
       "pushdown bound") {
     // qlen=10, tlen=17: weight = (10/17)·0.85 lands exactly at the 0.5f
