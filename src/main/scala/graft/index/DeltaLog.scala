@@ -52,7 +52,7 @@ object DeltaLog {
     * either the old content or the new — never a truncated in-place
     * overwrite. Shared by every marker/meta writer in the index package.
     */
-  private[index] def writeAtomicString(
+  private[graft] def writeAtomicString(
       f: FileSystem, path: String, content: String): Unit = {
     val dest = new Path(path)
     val tmp = new Path(path + ".tmp")

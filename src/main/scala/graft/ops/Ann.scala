@@ -265,44 +265,169 @@ object Ann {
     cents
   }
 
-  /** (vec_id, cell, embedding) — every vector assigned to its nearest
-    * centroid. One narrow pass; memoized + persisted per (input, params).
-    * At 100 TB this frame is what you WRITE, `partitionBy("cell")`, so a
-    * query's scan touches nprobe/nlist of the corpus files (partition
-    * pruning on the cell filter) — the IVF layout of Jégou et al. (IVF
-    * without the PQ compression), with the cells as partition dirs
-    * instead of an in-memory inverted list.
+  /** Stable per-(input, nlist, iters) IVF index location — mirrors
+    * `Corpus.indexDirFor` (readable-but-lossy sanitization + raw-key hash
+    * suffix for injectivity).
+    */
+  def ivfIndexDirFor(sfDir: String, nlist: Int, iters: Int): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$nlist|$iters"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"/tmp/graft_ivf_${safe}_${nlist}_$digest"
+  }
+
+  private val ivfBuildLock = new Object
+
+  /** Trains the coarse quantizer and PERSISTS the IVF index — the
+    * on-disk layout is the scale contract, not a cache:
+    *
+    *   - `cells/cell=<c>/` parquet  (vec_id, embedding), written
+    *     `partitionBy("cell")` so each cell is its own partition
+    *     directory — a query's `cell IN (probes)` filter becomes Catalyst
+    *     PARTITION PRUNING and the scan touches nprobe/nlist of the
+    *     corpus files (the inverted-file layout of Jégou et al.'s IVF,
+    *     with partition dirs as the inverted lists; ExplainAudit asserts
+    *     the PartitionFilters). The write is range-partitioned on
+    *     (cell, vec_id) first, so at scale every output file covers one
+    *     cell (≈1 file per task, big cells split across several files)
+    *     instead of every task writing a sliver of every cell.
+    *   - `centroids/` (cell, centroid ARRAY<DOUBLE>) — nlist rows, KBs;
+    *     queries reload these instead of retraining.
+    *   - `_meta`      params + source fingerprint, written atomically
+    *     LAST: marker existence ⇒ cells/centroids complete; a rewritten
+    *     source table (fingerprint drift) rebuilds in place.
+    *
+    * Returns the index dir; a second call with matching meta is a pure
+    * FS-metadata check (no Spark job, no retrain).
+    */
+  def ensureIvfIndex(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int = 16,
+      iters: Int = 5): String = ivfBuildLock.synchronized {
+    import spark.implicits._
+    val dir = ivfIndexDirFor(sfDir, nlist, iters)
+    val fp = LiveResultCache.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    val want = s"nlist=$nlist;iters=$iters;fp=$fp"
+    val metaP = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readSmall(fs, metaP).contains(want)) return dir
+    val cents = trainIvfCentroids(spark, sfDir, nlist, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, argmaxDot(unitD(v), bc.value), v) }
+      .toDF("vec_id", "cell", "embedding")
+      .repartitionByRange(parts, col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    graft.index.DeltaLog.writeAtomicString(fs, s"$dir/_meta", want)
+    centroidMemo.put(s"$dir|$want", cents)
+    dir
+  }
+
+  private def readSmall(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  /** Centroids reloaded from a persisted index (cell-ordered). */
+  def loadIvfCentroids(
+      spark: SparkSession, ivfDir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$ivfDir/centroids")
+      .orderBy("cell").select("centroid").as[Seq[Double]]
+      .collect().map(_.toArray)
+  }
+
+  /** (vec_id, cell, embedding) view of the persisted index (builds it on
+    * first use). Full-scan shape — for inspection/tests; queries go
+    * through [[ivfQuery]]'s pruned path.
     */
   def ivfCells(
       spark: SparkSession,
       sfDir: String,
       nlist: Int = 16,
       iters: Int = 5): DataFrame = {
-    val key = s"$sfDir|${LiveResultCache.fingerprint(spark,
-      s"$sfDir/embeddings.parquet")}|$nlist|$iters"
-    val cents = centroidMemo.getOrElseUpdate(key, {
-      if (centroidMemo.size > 8) centroidMemo.clear() // bounded, rebuildable
-      trainIvfCentroids(spark, sfDir, nlist, iters)
-    })
-    LiveResultCache.getOrCompute("ivfCells", key) {
-      import spark.implicits._
-      val bc = spark.sparkContext.broadcast(cents)
-      val assigned = emb(spark, sfDir)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .map { case (id, v) => (id, argmaxDot(unitD(v), bc.value), v) }
-        .toDF("vec_id", "cell", "embedding")
-      (assigned, Nil)
-    }
+    val dir = ensureIvfIndex(spark, sfDir, nlist, iters)
+    spark.read.parquet(s"$dir/cells").select("vec_id", "cell", "embedding")
   }
 
-  /** IVF-flat ANN top-k: score only the vectors in the `nprobe` cells
-    * whose centroids are nearest the query. Recall < 1 for nprobe <
-    * nlist (neighbors just across a cell boundary are missed — the
-    * standard IVF trade); nprobe = nlist degenerates to exact brute
-    * force (spec-gated ≡ [[bruteTopK]]). The candidate re-rank reuses
-    * bruteTopK's exact cosine expressions, so scores are identical, not
-    * merely close.
+  /** Query a persisted IVF index WITHOUT retraining: centroids come from
+    * the index's own `centroids/` table (driver memo keyed on the meta
+    * content, so a rebuilt index re-reads), and the cells scan carries a
+    * `cell IN (probes)` partition filter — only the probed partition
+    * directories are listed and read. Recall < 1 for nprobe < nlist (the
+    * standard IVF trade); nprobe = nlist degenerates to exact brute force
+    * (spec-gated ≡ [[bruteTopK]] — the re-rank reuses its exact cosine
+    * expressions, so scores are identical, not merely close).
+    */
+  def ivfQuery(
+      spark: SparkSession,
+      ivfDir: String,
+      queryVec: Array[Float],
+      k: Int = 10,
+      nprobe: Int = 4,
+      excludeVecId: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val meta = readSmall(
+      new org.apache.hadoop.fs.Path(ivfDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$ivfDir/_meta")).getOrElse(
+      throw new IllegalStateException(s"no IVF index at $ivfDir"))
+    val cents = centroidMemo.getOrElseUpdate(s"$ivfDir|$meta", {
+      if (centroidMemo.size > 8) centroidMemo.clear() // bounded, rebuildable
+      loadIvfCentroids(spark, ivfDir)
+    })
+    if (cents.isEmpty || queryVec.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    val qUnit = unitD(queryVec)
+    val probes: Seq[Int] = cents.indices
+      .map(c => c -> {
+        var s = 0.0
+        var i = 0
+        val d = math.min(cents(c).length, qUnit.length)
+        while (i < d) { s += cents(c)(i) * qUnit(i); i += 1 }
+        s
+      })
+      .sortBy { case (c, s) => (-s, c) }
+      .take(math.max(1, nprobe))
+      .map(_._1)
+    val q = spark.createDataset(Seq(queryVec)).toDF("qv")
+    spark.read.parquet(s"$ivfDir/cells")
+      .filter(col("cell").isin(probes: _*))
+      .filter(col("vec_id") =!= excludeVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))))
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
+        col("cos").as("c0"))
+      .orderBy(col("c0").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
+  /** IVF-flat ANN top-k over the source table: ensures the persisted
+    * index, looks the query vector up from the source (pushed-down
+    * `vec_id` filter), and runs [[ivfQuery]]'s pruned scan. A missing
+    * query id yields an empty frame, not a throw (same contract as
+    * [[bruteTopK]]/[[lshTopK]]).
     */
   def ivfTopK(
       spark: SparkSession,
@@ -313,45 +438,15 @@ object Ann {
       nprobe: Int = 4,
       iters: Int = 5): DataFrame = {
     import spark.implicits._
-    val cells = ivfCells(spark, sfDir, nlist, iters)
-    val key = s"$sfDir|${LiveResultCache.fingerprint(spark,
-      s"$sfDir/embeddings.parquet")}|$nlist|$iters"
-    val cents = centroidMemo.getOrElseUpdate(key,
-      trainIvfCentroids(spark, sfDir, nlist, iters))
-    // missing query id → qVec all-zero → arbitrary probes, and the final
-    // crossJoin against the empty query frame yields 0 rows (same contract
-    // as bruteTopK/lshTopK: empty result, not a throw)
-    val qVec = emb(spark, sfDir)
+    val ivfDir = ensureIvfIndex(spark, sfDir, nlist, iters)
+    emb(spark, sfDir)
       .filter(col("vec_id") === queryVecId)
       .select(col("embedding")).as[Array[Float]]
-      .collect().headOption.map(unitD)
-      .getOrElse(new Array[Double](0))
-    val probes: Seq[Int] = cents.indices
-      .map(c => c -> {
-        var s = 0.0
-        var i = 0
-        val d = math.min(cents(c).length, qVec.length)
-        while (i < d) { s += cents(c)(i) * qVec(i); i += 1 }
-        s
-      })
-      .sortBy { case (c, s) => (-s, c) }
-      .take(math.max(1, nprobe))
-      .map(_._1)
-    val q = emb(spark, sfDir)
-      .filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"))
-    cells
-      .filter(col("cell").isin(probes: _*))
-      .filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
-      .withColumn("cos",
-        dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))))
-      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
-        col("cos").as("c0"))
-      .orderBy(col("c0").desc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "cos")
+      .collect().headOption match {
+      case None => Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+      case Some(v) =>
+        ivfQuery(spark, ivfDir, v, k, nprobe, excludeVecId = queryVecId)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets.

@@ -37,6 +37,21 @@ object ExplainAudit {
     dump("dedup exact (expect partial/final hash agg)",
       Dedup.exact(spark, sfDir))
 
+    // IVF ANN: the persisted cells layout is partitionBy("cell"), so the
+    // probe filter must surface as PARTITION pruning — at scale this is
+    // the difference between reading nprobe/nlist of the files and
+    // scanning the whole corpus per query. Assert it, don't just print.
+    val ivf = graft.ops.Ann.ivfTopK(spark, sfDir, queryVecId = 0L, k = 10,
+      nlist = 8, nprobe = 2, iters = 3)
+    dump("ann ivf query (expect PartitionFilters: cell IN (probes) on the " +
+      "cells scan — only probed cell= dirs read)", ivf)
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    require(
+      raw"PartitionFilters: \[[^\]]*cell[^\]]*".r
+        .findFirstIn(ivfPlan).isDefined,
+      "ivf cells scan lost its cell partition filter")
+    println("ann ivf: PartitionFilters on cell ✓")
+
     // the >1M-term serving path: driver dict disabled → exact lookups go
     // through the DISTRIBUTED dictionary scan. This frame mirrors
     // Search.plan's exactPart filter (Search.scala) — expect PushedFilters

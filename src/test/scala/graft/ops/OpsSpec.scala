@@ -140,6 +140,37 @@ class OpsSpec extends AnyFunSuite {
       c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("ann ivf: persisted index round-trips — train → write → reload → " +
+      "query with NO retraining, results and layout identical") {
+    val ivfDir = Ann.ensureIvfIndex(spark, dir, nlist = 3, iters = 3)
+    // centroids round-trip exactly (doubles written/reread bit-identical)
+    val trained = Ann.trainIvfCentroids(spark, dir, nlist = 3, iters = 3)
+    val loaded = Ann.loadIvfCentroids(spark, ivfDir)
+    assert(loaded.length == trained.length &&
+      loaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    // the cells layout is partitionBy("cell"): one dir per non-empty cell
+    val cellDirs = new java.io.File(s"$ivfDir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted.toVector
+    assert(cellDirs.nonEmpty, "no cell= partition dirs written")
+    // query path reads ONLY the index (no source table, no memo, no
+    // retrain): results must equal the source-side ivfTopK
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    val fromIndex = Ann.ivfQuery(spark, ivfDir, qv, k = 3, nprobe = 1,
+      excludeVecId = 0L)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toVector
+    val fromSource = Ann.ivfTopK(spark, dir, queryVecId = 0L, k = 3,
+      nlist = 3, nprobe = 1, iters = 3)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toVector
+    assert(fromIndex == fromSource && fromIndex.nonEmpty)
+    // and the pruned scan carries a cell partition filter
+    val plan = Ann.ivfQuery(spark, ivfDir, qv, k = 3, nprobe = 1,
+      excludeVecId = 0L).queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no cell partition filter in:\n$plan")
+  }
+
   test("embedding cosine near-dup pairs find the planted twins") {
     val pairs = Ann.cosineNearDupPairs(spark, dir, threshold = 0.95)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
