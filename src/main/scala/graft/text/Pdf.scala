@@ -25,9 +25,20 @@ import java.nio.charset.StandardCharsets
   *   - one-byte string encoding read as Latin-1 (≈ PDFDocEncoding for
   *     printable text) and UTF-16BE strings via their BOM.
   *
-  * Documented divergences from poppler (COVERAGE.md): no font/CMap
-  * (`/ToUnicode`) resolution — subsetted or CID-keyed fonts whose string
-  * bytes are glyph ids extract garbage there (poppler maps them); no
+  *   - `/ToUnicode` CMaps for SIMPLE (non-CID) fonts: `beginbfchar` /
+  *     `beginbfrange` sections (incl. the array form) are parsed from the
+  *     CMap stream, bound to font names through the page resources'
+  *     `/Font << /Fx N 0 R >>` dicts and the font objects' `/ToUnicode`
+  *     refs, and applied to the strings shown while that font is selected
+  *     (`Tf`) — so subsetted fonts whose string bytes are glyph ids
+  *     extract real text instead of garbage. 1- and 2-byte code widths
+  *     are supported (from the codespacerange or the entry hex widths);
+  *     unmapped 1-byte codes fall back to Latin-1, unmapped multi-byte
+  *     codes are dropped.
+  *
+  * Documented divergences from poppler (COVERAGE.md): CID-keyed composite
+  * fonts with encoding CMaps (not just ToUnicode) are out of scope, as are
+  * fonts bound through object streams (`/ObjStm`-packed resources); no
   * layout analysis (poppler orders text spatially; this extractor follows
   * content-stream order, which coincides for generated single-column
   * documents); streams are processed in FILE order, which equals page
@@ -54,6 +65,9 @@ object Pdf {
       var foundAnyTextOp = false
       var nStreams = 0
       var nDecoded = 0
+      // ---- pass A: locate + decode every candidate stream in file order
+      val decodedStreams =
+        new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
       var i = 0
       while (i >= 0 && i < bytes.length) {
         val s = indexOf(bytes, "stream", i)
@@ -107,12 +121,35 @@ object Pdf {
                 var bin = false
                 var k = 0
                 while (k < probe && !bin) { bin = d(k) == 0; k += 1 }
-                if (!bin && appendContentText(d, out)) foundAnyTextOp = true
+                if (!bin)
+                  decodedStreams +=
+                    ((if (objStart >= 0) objNumberAt(bytes, objStart)
+                      else -1) -> d)
               }
             }
             i = dataEnd + "endstream".length
           }
         }
+      }
+      // ---- ToUnicode CMaps (by stream object number) + font-name binding
+      val cmapStreams = decodedStreams.filter { case (_, d) =>
+        indexOf(d, "beginbfchar", 0) >= 0 || indexOf(d, "beginbfrange", 0) >= 0
+      }
+      val cmapByObj: Map[Int, CMap] = cmapStreams.iterator
+        .filter(_._1 >= 0)
+        .flatMap { case (obj, d) =>
+          parseCMap(new String(d, StandardCharsets.ISO_8859_1))
+            .map(obj -> _)
+        }
+        .toMap
+      val fontCMaps: Map[String, CMap] =
+        if (cmapByObj.isEmpty) Map.empty else bindFonts(bytes, cmapByObj)
+      // ---- pass B: evaluate content streams (CMap streams excluded — a
+      // CMap's own hex tokens are operands of cmap operators, never text)
+      val cmapData = cmapStreams.map(_._2).toSet
+      decodedStreams.foreach { case (_, d) =>
+        if (!cmapData.contains(d) && appendContentText(d, out, fontCMaps))
+          foundAnyTextOp = true
       }
       if (foundAnyTextOp) Some(out.toString)
       // candidate streams present but NONE decoded → corrupt document:
@@ -151,6 +188,192 @@ object Pdf {
     -1
   }
 
+  /** Object number of the `N G obj` header whose "obj" keyword starts at
+    * `objIdx` (-1 when unparsable).
+    */
+  private def objNumberAt(bytes: Array[Byte], objIdx: Int): Int = {
+    var i = objIdx - 1
+    def skipWs(): Unit =
+      while (i >= 0 && (bytes(i) == ' ' || bytes(i) == '\t' ||
+        bytes(i) == '\r' || bytes(i) == '\n')) i -= 1
+    def readNum(): Int = {
+      val e = i
+      while (i >= 0 && bytes(i) >= '0' && bytes(i) <= '9') i -= 1
+      if (e == i) -1
+      else Integer.parseInt(
+        new String(bytes, i + 1, e - i, StandardCharsets.US_ASCII))
+    }
+    skipWs()
+    if (readNum() < 0) return -1 // generation number
+    skipWs()
+    readNum()
+  }
+
+  /** A parsed `/ToUnicode` CMap: fixed code width (1 or 2 bytes for the
+    * supported simple/one-CMap shapes) and code → unicode-string entries.
+    */
+  private final case class CMap(codeLen: Int, map: Map[Int, String]) {
+    def decode(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(b.length)
+      var i = 0
+      while (i + codeLen <= b.length) {
+        var code = 0
+        var j = 0
+        while (j < codeLen) { code = (code << 8) | (b(i + j) & 0xff); j += 1 }
+        map.get(code) match {
+          case Some(s) => sb.append(s)
+          case None =>
+            // partial CMaps are common; a 1-byte code is still a
+            // character code (Latin-1 ≈ the unmapped simple-font default),
+            // a multi-byte code is a bare glyph id — drop it
+            if (codeLen == 1) sb.append((code & 0xff).toChar)
+        }
+        i += codeLen
+      }
+      sb.toString
+    }
+  }
+
+  private val hexTok = "<([0-9A-Fa-f]+)>|(\\[)|(\\])".r
+
+  private def hexToBytes(h: String): Array[Byte] = {
+    val s = if (h.length % 2 == 1) h + "0" else h
+    Array.tabulate(s.length / 2)(k =>
+      Integer.parseInt(s.substring(2 * k, 2 * k + 2), 16).toByte)
+  }
+
+  private def utf16(hex: String): String =
+    new String(hexToBytes(hex), StandardCharsets.UTF_16BE)
+
+  /** `beginbfchar`/`beginbfrange` sections of a ToUnicode CMap stream →
+    * code → unicode map. Code width from the codespacerange when present,
+    * else the widest source-code hex seen; widths > 2 (CID composite
+    * encodings) are unsupported → None. Range expansion capped at 64k
+    * entries (a ToUnicode map is at most one entry per glyph).
+    */
+  private def parseCMap(s: String): Option[CMap] = {
+    val map = scala.collection.mutable.HashMap.empty[Int, String]
+    var codeLen = 0
+    def sections(begin: String, end: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var from = 0
+      var b = s.indexOf(begin, from)
+      while (b >= 0) {
+        val e = s.indexOf(end, b + begin.length)
+        if (e < 0) b = -1
+        else {
+          out += s.substring(b + begin.length, e)
+          from = e + end.length
+          b = s.indexOf(begin, from)
+        }
+      }
+      out.result()
+    }
+    sections("begincodespacerange", "endcodespacerange").foreach { sec =>
+      "<([0-9A-Fa-f]+)>".r.findFirstMatchIn(sec).foreach(m =>
+        codeLen = math.max(codeLen, (m.group(1).length + 1) / 2))
+    }
+    def noteSrc(hex: String): Int = {
+      codeLen = math.max(codeLen, (hex.length + 1) / 2)
+      Integer.parseInt(hex, 16)
+    }
+    sections("beginbfchar", "endbfchar").foreach { sec =>
+      val toks = "<([0-9A-Fa-f]+)>".r.findAllMatchIn(sec)
+        .map(_.group(1)).toVector
+      var k = 0
+      while (k + 1 < toks.length) {
+        map(noteSrc(toks(k))) = utf16(toks(k + 1))
+        k += 2
+      }
+    }
+    sections("beginbfrange", "endbfrange").foreach { sec =>
+      val toks = hexTok.findAllMatchIn(sec).toVector
+      var k = 0
+      while (k + 2 < toks.length) { // a triple needs lo, hi, dst/bracket
+        val loHex = toks(k).group(1)
+        val hiHex = toks(k + 1).group(1)
+        if (loHex == null || hiHex == null) k += 1 // malformed: resync
+        else {
+          val lo = noteSrc(loHex)
+          val hi = noteSrc(hiHex)
+          val t2 = toks(k + 2)
+          if (t2.group(2) != null) {
+            // array form: [ <d0> <d1> … ] — one destination per code
+            var j = k + 3
+            var code = lo
+            while (j < toks.length && toks(j).group(1) != null) {
+              if (map.size < 65536) map(code) = utf16(toks(j).group(1))
+              code += 1
+              j += 1
+            }
+            k = j + 1 // past the ']'
+          } else if (t2.group(1) != null) {
+            // contiguous form: dst starts at the value and increments in
+            // the LAST UTF-16 code unit (the spec's bfrange rule)
+            val dstBytes = hexToBytes(t2.group(1))
+            val span = math.min(hi - lo, 65535)
+            var c = 0
+            while (c <= span && map.size < 65536) {
+              val db = dstBytes.clone()
+              if (db.length >= 2) {
+                val last = (((db(db.length - 2) & 0xff) << 8) |
+                  (db(db.length - 1) & 0xff)) + c
+                db(db.length - 2) = ((last >> 8) & 0xff).toByte
+                db(db.length - 1) = (last & 0xff).toByte
+              }
+              map(lo + c) = new String(db, StandardCharsets.UTF_16BE)
+              c += 1
+            }
+            k += 3
+          } else k += 3 // stray ']' — skip the triple
+        }
+      }
+    }
+    if (map.isEmpty || codeLen < 1 || codeLen > 2) None
+    else Some(CMap(codeLen, map.toMap))
+  }
+
+  private val objHeaderRe = """(\d+)\s+\d+\s+obj""".r
+  private val toUniRefRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+  private val fontDictRe = """(?s)/Font\s*<<([^>]*)>>""".r
+  private val fontEntryRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+
+  /** Font NAME → CMap: resource `/Font << /Fx N 0 R >>` entries resolve
+    * to font objects, whose `/ToUnicode M 0 R` refs resolve to the parsed
+    * CMap streams. File-level scan (object streams not unpacked —
+    * documented subset); a name bound on several pages keeps the last
+    * binding.
+    */
+  private def bindFonts(
+      bytes: Array[Byte], cmaps: Map[Int, CMap]): Map[String, CMap] = {
+    val whole = new String(bytes, StandardCharsets.ISO_8859_1)
+    val headers = objHeaderRe.findAllMatchIn(whole)
+      .map(m => (m.start, m.group(1).toInt)).toArray
+    def enclosing(pos: Int): Int = {
+      var res = -1
+      var k = 0
+      while (k < headers.length && headers(k)._1 < pos) {
+        res = headers(k)._2
+        k += 1
+      }
+      res
+    }
+    val fontToUni: Map[Int, Int] = toUniRefRe.findAllMatchIn(whole)
+      .flatMap { m =>
+        val o = enclosing(m.start)
+        if (o >= 0) Some(o -> m.group(1).toInt) else None
+      }
+      .toMap
+    val out = scala.collection.mutable.HashMap.empty[String, CMap]
+    for {
+      fd <- fontDictRe.findAllMatchIn(whole)
+      em <- fontEntryRe.findAllMatchIn(fd.group(1))
+      tu <- fontToUni.get(em.group(2).toInt)
+      cm <- cmaps.get(tu)
+    } out(em.group(1)) = cm
+    out.toMap
+  }
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {
       val inf = new java.util.zip.Inflater()
@@ -168,22 +391,38 @@ object Pdf {
 
   /** Evaluates the text operators of one decoded content stream into `out`;
     * returns true when at least one text-showing operator was found.
+    * Strings stay RAW BYTES until a show operator consumes them: the
+    * decode depends on the font selected by the preceding `Tf` (ToUnicode
+    * CMap when bound, else BOM/Latin-1).
     */
   private def appendContentText(
-      data: Array[Byte], out: java.lang.StringBuilder): Boolean = {
+      data: Array[Byte],
+      out: java.lang.StringBuilder,
+      fontCMaps: Map[String, CMap]): Boolean = {
     var found = false
     var inText = false
     var lineHasText = false
     var i = 0
     val n = data.length
-    val pendingStrings = new scala.collection.mutable.ArrayBuffer[String]()
+    val pendingStrings =
+      new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    // font is GRAPHICS state: persists across BT/ET (q/Q save/restore is
+    // out of subset scope — one current font suffices for generated docs)
+    var curCMap: Option[CMap] = None
+    var lastName: String = ""
 
     def newline(): Unit = {
       if (lineHasText) { out.append('\n'); lineHasText = false }
     }
-    def show(s: String): Unit = {
-      if (inText && s.nonEmpty) { out.append(s); lineHasText = true }
-      if (inText) found = true
+    def show(b: Array[Byte]): Unit = {
+      if (inText) {
+        val s = curCMap match {
+          case Some(cm) => cm.decode(b)
+          case None => decodeStringBytes(b)
+        }
+        if (s.nonEmpty) { out.append(s); lineHasText = true }
+        found = true
+      }
     }
 
     while (i < n) {
@@ -202,9 +441,13 @@ object Pdf {
         while (i < n && data(i) != '\n' && data(i) != '\r') i += 1
       } else if (c == '/') {
         // name token = OPERAND (font/gstate selectors): skip it whole —
-        // it must neither act as an operator nor clear pending strings
+        // it must neither act as an operator nor clear pending strings.
+        // Remember it: a following Tf binds it as the current font.
         i += 1
+        val nameStart = i
         while (i < n && isRegular(data(i) & 0xff)) i += 1
+        lastName = new String(data, nameStart, i - nameStart,
+          StandardCharsets.ISO_8859_1)
       } else if (isRegular(c)) {
         val start = i
         while (i < n && isRegular(data(i) & 0xff)) i += 1
@@ -217,6 +460,9 @@ object Pdf {
         if (isNumber) () else op match {
           case "BT" => inText = true; pendingStrings.clear()
           case "ET" => newline(); inText = false; pendingStrings.clear()
+          case "Tf" =>
+            curCMap = fontCMaps.get(lastName)
+            pendingStrings.clear()
           case "Tj" | "TJ" =>
             pendingStrings.foreach(show)
             pendingStrings.clear()
@@ -246,11 +492,11 @@ object Pdf {
       c == 0 || c == '(' || c == ')' || c == '<' || c == '>' ||
       c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%')
 
-  /** `(…)` literal string starting at `start`; returns (decoded, index
+  /** `(…)` literal string starting at `start`; returns (raw bytes, index
     * after the closing paren). Handles nesting, the escape set, and octal.
     */
   private def parseLiteralString(
-      data: Array[Byte], start: Int): (String, Int) = {
+      data: Array[Byte], start: Int): (Array[Byte], Int) = {
     val bytes = new java.io.ByteArrayOutputStream()
     var depth = 1
     var i = start + 1
@@ -291,11 +537,12 @@ object Pdf {
         i += 1
       } else { bytes.write(c); i += 1 }
     }
-    (decodeStringBytes(bytes.toByteArray), i)
+    (bytes.toByteArray, i)
   }
 
-  /** `<…>` hex string; returns (decoded, index after '>'). */
-  private def parseHexString(data: Array[Byte], start: Int): (String, Int) = {
+  /** `<…>` hex string; returns (raw bytes, index after '>'). */
+  private def parseHexString(
+      data: Array[Byte], start: Int): (Array[Byte], Int) = {
     val bytes = new java.io.ByteArrayOutputStream()
     var i = start + 1
     val n = data.length
@@ -310,7 +557,7 @@ object Pdf {
       i += 1
     }
     if (hi >= 0) bytes.write(hi << 4) // odd digit count: low nibble = 0
-    (decodeStringBytes(bytes.toByteArray), math.min(n, i + 1))
+    (bytes.toByteArray, math.min(n, i + 1))
   }
 
   /** PDF string bytes → text: UTF-16BE when BOM-prefixed, else Latin-1

@@ -153,6 +153,79 @@ class PdfSpec extends AnyFunSuite {
     assert(!Pdf.extractText(noMark.toByteArray).get.contains("sfnt garbage"))
   }
 
+  /** Full document with a subsetted simple font: content shows GLYPH IDS
+    * (<0102030304>), the font's /ToUnicode CMap (obj 6) maps them back to
+    * text via bfchar + a contiguous bfrange, bound through the page
+    * resources' /Font dict.
+    */
+  private def subsettedFontPdf(
+      glyphHex: String, fontName: String = "F7"): Array[Byte] = {
+    val cmap =
+      "/CIDInit /ProcSet findresource begin\n" +
+        "begincmap\n" +
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "3 beginbfchar\n<01> <0048>\n<02> <0065>\n<04> <006F>\nendbfchar\n" +
+        "1 beginbfrange\n<03> <03> <006C>\nendbfrange\n" +
+        "endcmap\nend\n"
+    val content = s"BT /$fontName 12 Tf 72 720 Td <$glyphHex> Tj " +
+      "/Unbound 10 Tf (plain latin) Tj ET"
+    (s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /$fontName 5 0 R >> >> /Contents 4 0 R >> endobj
+       |4 0 obj << /Length ${content.length} >>
+       |stream
+       |$content
+       |endstream endobj
+       |5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /ABCDEF+Subset /ToUnicode 6 0 R >> endobj
+       |6 0 obj << /Length ${cmap.length} >>
+       |stream
+       |$cmap
+       |endstream endobj
+       |trailer << /Root 1 0 R >>
+       |%%EOF
+       |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("/ToUnicode CMap: subsetted simple font extracts real text where " +
+      "glyph ids were garbage; unbound fonts still decode Latin-1") {
+    // glyph ids 01 02 03 03 04 → H e l l o via bfchar + bfrange
+    val text = Pdf.extractText(subsettedFontPdf("0102030304")).get
+    assert(text.contains("Hello"), s"got: $text")
+    // the Tf switch to an unbound font restores the default decode
+    assert(text.contains("plain latin"))
+    // the CMap stream's own hex tokens never leak into the text
+    assert(!text.contains("Hel") || text.contains("Hello"))
+    // unmapped codes under the SAME font fall back to Latin-1, one char
+    // per byte (partial CMaps are the common real-world case)
+    val partial = Pdf.extractText(subsettedFontPdf("015A")).get
+    assert(partial.contains("HZ"), s"got: $partial") // 5A unmapped → 'Z'
+  }
+
+  test("/ToUnicode bfrange array form and 2-byte codes") {
+    val cmap =
+      "begincmap\n" +
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "1 beginbfrange\n<0010> <0012> [<0057> <006F> <0077>]\nendbfrange\n" +
+        "endcmap\n"
+    val content = "BT /G1 9 Tf <001000110012> Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |3 0 obj << /Type /Page /Resources << /Font << /G1 5 0 R >> >> /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream endobj
+         |5 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${cmap.length} >>
+         |stream
+         |$cmap
+         |endstream endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    assert(Pdf.extractText(b).get.contains("Wow"))
+  }
+
   test("error semantics: non-PDF bytes and corrupt-only streams → None " +
       "(doc skipped, old version survives); text-free PDF → empty text") {
     assert(Pdf.extractText("not a pdf".getBytes).isEmpty)

@@ -43,17 +43,29 @@ class ServeSpec extends AnyFunSuite {
 
   private val client = HttpClient.newHttpClient()
 
+  /** One bounded retry on CONNECTION-level failures only: a keep-alive
+    * connection the server idled out between our reuse decision and the
+    * write surfaces as IOException — the JDK HttpClient auto-retries that
+    * race for idempotent GETs but never for POSTs, so under full-suite
+    * load the hammer loop can see a spurious "header parser received no
+    * bytes". A single fresh-connection retry is standard client behavior,
+    * not a weakened assertion — HTTP status codes are NEVER retried.
+    */
+  private def send(req: HttpRequest): HttpResponse[String] =
+    try client.send(req, HttpResponse.BodyHandlers.ofString())
+    catch {
+      case _: java.io.IOException =>
+        client.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+
   private def get(path: String): HttpResponse[String] =
-    client.send(
-      HttpRequest.newBuilder(
-        URI.create(s"http://localhost:$serverPort$path")).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
+    send(HttpRequest.newBuilder(
+      URI.create(s"http://localhost:$serverPort$path")).GET().build())
 
   private def post(path: String, body: String): HttpResponse[String] =
-    client.send(
-      HttpRequest.newBuilder(URI.create(s"http://localhost:$serverPort$path"))
-        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
-      HttpResponse.BodyHandlers.ofString())
+    send(HttpRequest.newBuilder(
+      URI.create(s"http://localhost:$serverPort$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build())
 
   test("POST /api/search returns the reference serde shape, identical to " +
       "searchTop") {
