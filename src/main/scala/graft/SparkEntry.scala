@@ -115,6 +115,11 @@ object SparkEntry {
     // rows-only (k-means isn't DuckDB-expressible); recall + the
     // nprobe=nlist ≡ brute degeneracy are OpsSpec-gated.
     "ann_ivf_cosine" -> ((s, dir) => Ann.ivfTopK(s, dir)),
+    // nprobe = nlist scans every cell partition ⇒ EXACTLY brute force
+    // (the OpsSpec-gated degeneracy), which IS SQL-expressible — so the
+    // persisted cells/ layout + ivfQuery path get the full DuckDB hash
+    // gate here, while ann_ivf_cosine keeps the pruned nprobe<nlist shape.
+    "ann_ivf_exact" -> ((s, dir) => Ann.ivfTopK(s, dir, nprobe = 16)),
 
     // ---- text analysis -----------------------------------------------------
     // orderBy here is ORACLE-COMPARISON plumbing, not operator semantics:
@@ -163,6 +168,8 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exactSql + " ORDER BY doc_id"),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "ann_brute_cosine" -> Ann.bruteTopKSql(),
+    // nprobe=nlist IVF ≡ brute force: same oracle as ann_brute_cosine
+    "ann_ivf_exact" -> Ann.bruteTopKSql(),
     "text_langid" -> TextStats.langIdSql,
     "text_quality" -> TextStats.qualitySql,
     "text_token_counts" -> TextStats.tokenCountsSql,

@@ -315,31 +315,42 @@ object Dedup {
     (expanded.orderBy("id_a", "id_b"), Seq(grouped, membership))
   }
 
-  /** Token-set Jaccard over a bounded doc subset (SQL-parity variant). */
+  /** Token-set Jaccard over a bounded doc subset (SQL-parity variant).
+    *
+    * Plan shape: the per-doc DISTINCT token set is built NARROWLY
+    * (`array_distinct` over the split array — per-doc dedup needs no
+    * shuffle, vs the old corpus-wide `explode().distinct()` exchange), and
+    * set sizes are a narrow `size(arr)` instead of a groupBy. The only
+    * wide stage left is the intersection count (tok-join + pair groupBy);
+    * both its dimension joins broadcast the ≤maxDocId-row sizes frame, and
+    * the join's build side is the bounded token list itself — at corpus
+    * scale the UNBOUNDED path is minhashPairs, not this parity variant.
+    */
   def ngramJaccard(
       spark: SparkSession,
       sfDir: String,
       maxDocId: Long = 100,
       threshold: Double = 0.3): DataFrame = {
-    val toks = docs(spark, sfDir)
+    val sets = docs(spark, sfDir)
       .filter(col("doc_id") < maxDocId)
       .select(
         col("doc_id"),
-        explode(filter(split(lower(col("text")), " "), t => t =!= ""))
-          .as("tok"))
-      .distinct()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        array_distinct(
+          filter(split(lower(col("text")), " "), t => t =!= "")).as("toks"))
+    val toks = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sizes = sets.select(
+      col("doc_id"), size(col("toks")).cast("long").as("sz"))
     val a = toks.as("a")
     val b = toks.as("b")
-    val inter = a.join(b,
+    val inter = a.join(broadcast(b),
       col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")))
