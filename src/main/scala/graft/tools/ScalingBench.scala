@@ -36,7 +36,13 @@ object ScalingBench {
 
   def session(cores: Int): SparkSession =
     SparkSession.builder()
-      .master(s"local[$cores]")
+      // SPARK_GRAFT_MASTER overrides the thread-local default so the
+      // IDENTICAL job can run under a real multi-executor topology via
+      // spark-submit — e.g. local-cluster[N,cores,mem] launches N separate
+      // executor JVMs (own heap, GC, task threads; shuffle over netty),
+      // the closest single-box stand-in for the north rule's N-executor
+      // cluster. `cores` then only labels the level in the report.
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", "64")
       // split sizing for wide levels: the default 128 MB/4 MB bin-packing
