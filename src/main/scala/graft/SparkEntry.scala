@@ -119,7 +119,8 @@ object SparkEntry {
     // (the OpsSpec-gated degeneracy), which IS SQL-expressible — so the
     // persisted cells/ layout + ivfQuery path get the full DuckDB hash
     // gate here, while ann_ivf_cosine keeps the pruned nprobe<nlist shape.
-    "ann_ivf_exact" -> ((s, dir) => Ann.ivfTopK(s, dir, nprobe = 16)),
+    "ann_ivf_exact" -> ((s, dir) =>
+      Ann.ivfTopK(s, dir, nlist = 16, nprobe = 16)),
 
     // ---- text analysis -----------------------------------------------------
     // orderBy here is ORACLE-COMPARISON plumbing, not operator semantics:

@@ -76,6 +76,23 @@ object ExplainAudit {
         else s"UNEXPECTED ${bad.mkString(",")} in plan ✗"}")
       require(bad.isEmpty, s"$name plan contains ${bad.mkString(",")}")
     }
+    // q2: aggregate-before-join shape — the pre-agg must show a
+    // partial_sum BEFORE its exchange (map-side combine: one row per
+    // order key per map partition reaches the shuffle), and at driver
+    // scales AQE should convert the single-column semi-join to broadcast
+    // at runtime (at real TPC-H scale orders is a fact table — the
+    // SHUFFLED semi-join is the scale-correct static plan, which is why
+    // the code does not hint broadcast).
+    locally {
+      val q2 = graft.SparkEntry.queries("q2_join_topk")(spark, sfDir)
+      q2.count() // materialize so AQE finalizes its runtime plan
+      dump("q2_join_topk final AQE plan (expect partial_sum before " +
+        "exchange; semi-join broadcast-converted at this scale)", q2)
+      val plan = q2.queryExecution.executedPlan.toString
+      require(plan.contains("partial_sum"),
+        "q2 lost its map-side partial aggregation")
+    }
+
     assertNoGlobalSort("text_langid op frame", TextStats.langId(spark, sfDir))
     assertNoGlobalSort("text_quality op frame", TextStats.quality(spark, sfDir))
     assertNoGlobalSort("text_token_counts op frame",
