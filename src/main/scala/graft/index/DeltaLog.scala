@@ -182,6 +182,40 @@ object DeltaLog {
       .select("termId", "docId", "tf", "docLen")
   }
 
+  /** Tombstone row count for a (dir, seqs) snapshot, from parquet
+    * footers. Memoized per seq dir KEYED ON ITS FILE STATUSES
+    * (path+length+mtime): a committed seq's `removed/` files are
+    * immutable and seqs are never reused ([[nextSeq]] floors at
+    * [[compactedThrough]]), so repeated view constructions over the same
+    * snapshot — every postingsView/docsView during an update or
+    * compaction — skip the per-file footer opens, while a
+    * rebuilt-in-place dir (tests) changes the key and misses rather than
+    * serving a stale count. The listStatus itself stays per-call: one
+    * cheap RPC, vs a footer open per file.
+    */
+  private val tombRowsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def tombRowCount(
+      spark: SparkSession, dir: String, seqs: Seq[Int]): Long = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    seqs.map { s =>
+      val p = new Path(removedPath(dir, s))
+      val f = p.getFileSystem(hconf)
+      if (!f.exists(p)) 0L
+      else {
+        val sts = f.listStatus(p).toSeq
+          .filter(st => st.getPath.getName.endsWith(".parquet"))
+        val key = sts.map(st =>
+          s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+          .mkString(";")
+        if (tombRowsMemo.size > 1024) tombRowsMemo.clear() // rebuildable
+        tombRowsMemo.getOrElseUpdate(key,
+          sts.map(IndexBuilder.footerRowCount(_, hconf)).sum)
+      }
+    }.sum
+  }
+
   /** Applies the liveness rule to a frame carrying a `_seq` layer column.
     * The tombstone side is usually compaction-bounded small and broadcast —
     * but a maintenance lull under heavy churn can leave more tombstones
@@ -203,8 +237,7 @@ object DeltaLog {
         val cap = spark.conf
           .getOption("graft.maxDriverTombstones").map(_.toLong)
           .getOrElse(10000000L)
-        val tombRows = IndexBuilder.footerRowCounts(
-          spark, seqs.map(s => removedPath(dir, s))).sum
+        val tombRows = tombRowCount(spark, dir, seqs)
         val side = if (tombRows > cap) t else broadcast(t)
         layers.join(side, Seq("docId"), "left")
           .filter(col("_seq") >= coalesce(col("tombSeq"), lit(0)))

@@ -413,6 +413,16 @@ object IndexBuilder {
   /** Row count of every parquet data file under `dirs`, read from footers
     * only (each written file = one build partition).
     */
+  /** Row count of one parquet file from its FOOTER (no data read). */
+  def footerRowCount(
+      st: org.apache.hadoop.fs.FileStatus,
+      hconf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromStatus(st, hconf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   def footerRowCounts(
       spark: SparkSession, dirs: Seq[String]): Array[Long] = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -422,12 +432,7 @@ object IndexBuilder {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
         .filter(st => st.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, hconf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }
+        .map(footerRowCount(_, hconf))
     }.toArray
   }
 

@@ -314,6 +314,12 @@ object Ann {
     val metaP = new org.apache.hadoop.fs.Path(s"$dir/_meta")
     val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (readSmall(fs, metaP).contains(want)) return dir
+    // Invalidate FIRST: the overwrite below destroys cells/, and the
+    // marker's contract is "existence ⇒ cells/centroids complete". A
+    // crash mid-rebuild (or an ivfQuery racing this lock from another
+    // JVM) must find NO marker and fail/rebuild — not read the stale
+    // marker and serve a partial cells table.
+    if (fs.exists(metaP)) fs.delete(metaP, false)
     val cents = trainIvfCentroids(spark, sfDir, nlist, iters)
     val bc = spark.sparkContext.broadcast(cents)
     val parts = math.max(1, spark.sparkContext.defaultParallelism)

@@ -36,9 +36,12 @@ import java.nio.charset.StandardCharsets
   *     unmapped 1-byte codes fall back to Latin-1, unmapped multi-byte
   *     codes are dropped.
   *
+  *   - font/resource dicts packed in `/Type/ObjStm` object streams
+  *     (PDF 1.5+ writers) are unpacked for the binding scan, so
+  *     `/ToUnicode` refs inside object streams resolve too.
+  *
   * Documented divergences from poppler (COVERAGE.md): CID-keyed composite
-  * fonts with encoding CMaps (not just ToUnicode) are out of scope, as are
-  * fonts bound through object streams (`/ObjStm`-packed resources); no
+  * fonts with encoding CMaps (not just ToUnicode) are out of scope; no
   * layout analysis (poppler orders text spatially; this extractor follows
   * content-stream order, which coincides for generated single-column
   * documents); streams are processed in FILE order, which equals page
@@ -65,9 +68,15 @@ object Pdf {
       var foundAnyTextOp = false
       var nStreams = 0
       var nDecoded = 0
-      // ---- pass A: locate + decode every candidate stream in file order
-      val decodedStreams =
-        new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+      // ---- pass A: LOCATE every candidate stream in file order. Metadata
+      // only — no decode yet, so peak memory is one decoded stream at a
+      // time below, not every inflated stream of the document at once.
+      // (obj, dataStart, dataEnd, isFlate)
+      val locs =
+        new scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Boolean)]()
+      // /Type/ObjStm containers: (dict, dataStart, dataEnd, isFlate)
+      val objStmLocs =
+        new scala.collection.mutable.ArrayBuffer[(String, Int, Int, Boolean)]()
       var i = 0
       while (i >= 0 && i < bytes.length) {
         val s = indexOf(bytes, "stream", i)
@@ -94,7 +103,6 @@ object Pdf {
           val dataEnd = indexOf(bytes, "endstream", dataStart)
           if (dataEnd < 0) i = -1
           else {
-            val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
             // skip streams that cannot hold page text operators:
             // /Subtype/Image (image XObjects), /Length1 (embedded font
             // PROGRAMS carry their decompressed length there — /FontFile
@@ -107,49 +115,81 @@ object Pdf {
               dict.contains("/Type/XRef") || dict.contains("/Type /XRef")
             if (!isImageOrFont) {
               nStreams += 1
-              val decoded =
-                if (dict.contains("/FlateDecode")) inflate(raw)
-                else Some(raw)
-              decoded.foreach { d =>
-                nDecoded += 1
-                // binary guard: real content streams open with ASCII
-                // operators; font/image/object data starts with struct
-                // bytes. A NUL in the first 64 decoded bytes marks the
-                // stream binary — scanning it could only inject garbage
-                // "text" from accidental BT…Tj byte patterns.
-                val probe = math.min(64, d.length)
-                var bin = false
-                var k = 0
-                while (k < probe && !bin) { bin = d(k) == 0; k += 1 }
-                if (!bin)
-                  decodedStreams +=
-                    ((if (objStart >= 0) objNumberAt(bytes, objStart)
-                      else -1) -> d)
-              }
+              locs += ((
+                if (objStart >= 0) objNumberAt(bytes, objStart) else -1,
+                dataStart, dataEnd, dict.contains("/FlateDecode")))
+            } else if (dict.contains("/ObjStm")) {
+              objStmLocs +=
+                ((dict, dataStart, dataEnd, dict.contains("/FlateDecode")))
             }
             i = dataEnd + "endstream".length
           }
         }
       }
-      // ---- ToUnicode CMaps (by stream object number) + font-name binding
-      val cmapStreams = decodedStreams.filter { case (_, d) =>
-        indexOf(d, "beginbfchar", 0) >= 0 || indexOf(d, "beginbfrange", 0) >= 0
+      def decodeLoc(l: (Int, Int, Int, Boolean)): Option[Array[Byte]] = {
+        val raw = java.util.Arrays.copyOfRange(bytes, l._2, l._3)
+        val d = if (l._4) inflate(raw) else Some(raw)
+        d.foreach(_ => nDecoded += 1)
+        d
       }
-      val cmapByObj: Map[Int, CMap] = cmapStreams.iterator
-        .filter(_._1 >= 0)
-        .flatMap { case (obj, d) =>
-          parseCMap(new String(d, StandardCharsets.ISO_8859_1))
-            .map(obj -> _)
+      // binary guard: real content streams open with ASCII operators;
+      // font/image/object data starts with struct bytes. A NUL in the
+      // first 64 decoded bytes marks the stream binary — scanning it
+      // could only inject garbage "text" from accidental BT…Tj patterns.
+      def looksBinary(d: Array[Byte]): Boolean = {
+        val probe = math.min(64, d.length)
+        var bin = false
+        var k = 0
+        while (k < probe && !bin) { bin = d(k) == 0; k += 1 }
+        bin
+      }
+      // ---- /Type/ObjStm expansion: PDF 1.5+ writers pack non-stream
+      // objects (font dicts, page resources) into compressed object
+      // streams, invisible to a raw-byte scan. Decode each ObjStm once
+      // and re-serialize its packed objects as top-level "N 0 obj …
+      // endobj" text, appended to the binding scans below. Stream
+      // objects can never live inside an ObjStm (spec), so content/CMap
+      // stream discovery above is unaffected.
+      val objStmText: String = objStmLocs.iterator.map {
+        case (dict, a, b, fl) =>
+          val raw = java.util.Arrays.copyOfRange(bytes, a, b)
+          (if (fl) inflate(raw) else Some(raw))
+            .map(expandObjStm(dict, _)).getOrElse("")
+      }.mkString
+      // ---- ToUnicode CMaps + font-name binding. A stream is a CMap
+      // because a font's /ToUnicode points AT it — never because its data
+      // happens to contain "beginbfchar" (a content stream legitimately
+      // SHOWS that literal when the document is about PDF internals, and
+      // must not be dropped from extraction for it).
+      val cmapObjs: Set[Int] = toUnicodeRefs(bytes) ++ (
+        if (objStmText.isEmpty) Set.empty[Int]
+        else toUnicodeRefs(
+          objStmText.getBytes(StandardCharsets.ISO_8859_1)))
+      val cmapByObj: Map[Int, CMap] = locs.iterator
+        .filter(l => l._1 >= 0 && cmapObjs.contains(l._1))
+        .flatMap { l =>
+          decodeLoc(l)
+            .filterNot(looksBinary)
+            .flatMap(d =>
+              parseCMap(new String(d, StandardCharsets.ISO_8859_1)))
+            .map(l._1 -> _)
         }
         .toMap
       val fontCMaps: Map[String, CMap] =
-        if (cmapByObj.isEmpty) Map.empty else bindFonts(bytes, cmapByObj)
-      // ---- pass B: evaluate content streams (CMap streams excluded — a
-      // CMap's own hex tokens are operands of cmap operators, never text)
-      val cmapData = cmapStreams.map(_._2).toSet
-      decodedStreams.foreach { case (_, d) =>
-        if (!cmapData.contains(d) && appendContentText(d, out, fontCMaps))
-          foundAnyTextOp = true
+        if (cmapByObj.isEmpty) Map.empty
+        else bindFonts(bytes, cmapByObj, objStmText)
+      // ---- pass B: decode + evaluate content streams ONE AT A TIME
+      // (ToUnicode-referenced streams excluded — a CMap's hex tokens are
+      // operands of cmap operators, never page text). Font state threads
+      // ACROSS streams: a /Contents array's parts form one logical
+      // stream per spec, so a Tf at the end of part 1 governs part 2.
+      val st = new TextState
+      locs.foreach { l =>
+        if (!(l._1 >= 0 && cmapObjs.contains(l._1)))
+          decodeLoc(l).foreach { d =>
+            if (!looksBinary(d) && appendContentText(d, out, fontCMaps, st))
+              foundAnyTextOp = true
+          }
       }
       if (foundAnyTextOp) Some(out.toString)
       // candidate streams present but NONE decoded → corrupt document:
@@ -161,6 +201,38 @@ object Pdf {
     } catch {
       case _: Exception => None
     }
+  }
+
+  /** Object numbers referenced as `/ToUnicode N G R` anywhere in the
+    * file — the authoritative "this stream is a CMap" set for
+    * [[extractText]]'s classification.
+    */
+  private def toUnicodeRefs(bytes: Array[Byte]): Set[Int] = {
+    val out = Set.newBuilder[Int]
+    var i = indexOf(bytes, "/ToUnicode", 0)
+    while (i >= 0) {
+      var j = i + "/ToUnicode".length
+      def skipWs(): Unit =
+        while (j < bytes.length && (bytes(j) == ' ' || bytes(j) == '\t' ||
+          bytes(j) == '\r' || bytes(j) == '\n')) j += 1
+      def readNum(): Int = {
+        val s = j
+        while (j < bytes.length && bytes(j) >= '0' && bytes(j) <= '9') j += 1
+        // >9 digits cannot be a real object number and would overflow Int
+        if (j == s || j - s > 9) -1
+        else Integer.parseInt(
+          new String(bytes, s, j - s, StandardCharsets.US_ASCII))
+      }
+      skipWs()
+      val num = readNum()
+      skipWs()
+      val gen = readNum()
+      skipWs()
+      if (num >= 0 && gen >= 0 && j < bytes.length && bytes(j) == 'R')
+        out += num
+      i = indexOf(bytes, "/ToUnicode", i + 1)
+    }
+    out.result()
   }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
@@ -199,7 +271,8 @@ object Pdf {
     def readNum(): Int = {
       val e = i
       while (i >= 0 && bytes(i) >= '0' && bytes(i) <= '9') i -= 1
-      if (e == i) -1
+      // a >9-digit run is not a real object number (and would overflow)
+      if (e == i || e - i > 9) -1
       else Integer.parseInt(
         new String(bytes, i + 1, e - i, StandardCharsets.US_ASCII))
     }
@@ -275,7 +348,10 @@ object Pdf {
     }
     def noteSrc(hex: String): Int = {
       codeLen = math.max(codeLen, (hex.length + 1) / 2)
-      Integer.parseInt(hex, 16)
+      // >4 hex digits already forces codeLen > 2 → the CMap is rejected
+      // below; parse defensively so a corrupt wide code can't throw past
+      // that check and (via extractText's catch-all) skip the whole doc
+      if (hex.length > 8) 0 else java.lang.Long.parseLong(hex, 16).toInt
     }
     sections("beginbfchar", "endbfchar").foreach { sec =>
       val toks = "<([0-9A-Fa-f]+)>".r.findAllMatchIn(sec)
@@ -333,6 +409,54 @@ object Pdf {
     else Some(CMap(codeLen, map.toMap))
   }
 
+  private val objStmNRe = """/N\s+(\d+)""".r
+  private val objStmFirstRe = """/First\s+(\d+)""".r
+
+  /** Packed objects of one decoded `/Type/ObjStm` stream, re-serialized
+    * as `N 0 obj … endobj\n` text (layout per PDF 1.5+ §7.5.7: `/N`
+    * pairs of "objnum offset" integers up to `/First`, then the objects
+    * at First+offset in pair order). Any malformation degrades to ""
+    * (no bindings gained) — never an exception that would skip the
+    * document's otherwise-extractable content streams.
+    */
+  private def expandObjStm(dict: String, data: Array[Byte]): String =
+    try {
+      val n = objStmNRe.findFirstMatchIn(dict)
+        .map(m => safeInt(m.group(1))).getOrElse(-1)
+      val first = objStmFirstRe.findFirstMatchIn(dict)
+        .map(m => safeInt(m.group(1))).getOrElse(-1)
+      if (n <= 0 || first <= 0 || first > data.length) return ""
+      val header =
+        new String(data, 0, first, StandardCharsets.ISO_8859_1)
+      val nums = header.split("\\s+").iterator
+        .filter(t => t.nonEmpty && t.length <= 9 &&
+          t.forall(c => c >= '0' && c <= '9'))
+        .map(_.toInt).toArray
+      val sb = new java.lang.StringBuilder()
+      val pairs = math.min(n, nums.length / 2)
+      var k = 0
+      while (k < pairs) {
+        val objNum = nums(2 * k)
+        val start = first + nums(2 * k + 1)
+        val end =
+          if (k + 1 < pairs) math.min(data.length, first + nums(2 * k + 3))
+          else data.length
+        if (start >= first && start < end && end <= data.length)
+          sb.append(objNum).append(" 0 obj ")
+            .append(new String(data, start, end - start,
+              StandardCharsets.ISO_8859_1))
+            .append(" endobj\n")
+        k += 1
+      }
+      sb.toString
+    } catch { case _: Exception => "" }
+
+  /** `\d+`-group → Int without NumberFormatException on absurd widths
+    * (a corrupt file's 10+-digit "object number" must degrade to no
+    * binding, not abort extraction of the whole document).
+    */
+  private def safeInt(s: String): Int = if (s.length > 9) -1 else s.toInt
+
   private val objHeaderRe = """(\d+)\s+\d+\s+obj""".r
   private val toUniRefRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private val fontDictRe = """(?s)/Font\s*<<([^>]*)>>""".r
@@ -340,15 +464,19 @@ object Pdf {
 
   /** Font NAME → CMap: resource `/Font << /Fx N 0 R >>` entries resolve
     * to font objects, whose `/ToUnicode M 0 R` refs resolve to the parsed
-    * CMap streams. File-level scan (object streams not unpacked —
-    * documented subset); a name bound on several pages keeps the last
-    * binding.
+    * CMap streams. Scans the raw file text PLUS the re-serialized
+    * contents of any `/Type/ObjStm` containers ([[expandObjStm]]), so
+    * fonts and resources packed into object streams (PDF 1.5+ writers)
+    * bind too; a name bound on several pages keeps the last binding.
     */
   private def bindFonts(
-      bytes: Array[Byte], cmaps: Map[Int, CMap]): Map[String, CMap] = {
-    val whole = new String(bytes, StandardCharsets.ISO_8859_1)
+      bytes: Array[Byte],
+      cmaps: Map[Int, CMap],
+      objStmText: String): Map[String, CMap] = {
+    val whole = new String(bytes, StandardCharsets.ISO_8859_1) +
+      "\n" + objStmText
     val headers = objHeaderRe.findAllMatchIn(whole)
-      .map(m => (m.start, m.group(1).toInt)).toArray
+      .map(m => (m.start, safeInt(m.group(1)))).toArray
     def enclosing(pos: Int): Int = {
       var res = -1
       var k = 0
@@ -361,14 +489,15 @@ object Pdf {
     val fontToUni: Map[Int, Int] = toUniRefRe.findAllMatchIn(whole)
       .flatMap { m =>
         val o = enclosing(m.start)
-        if (o >= 0) Some(o -> m.group(1).toInt) else None
+        val tu = safeInt(m.group(1))
+        if (o >= 0 && tu >= 0) Some(o -> tu) else None
       }
       .toMap
     val out = scala.collection.mutable.HashMap.empty[String, CMap]
     for {
       fd <- fontDictRe.findAllMatchIn(whole)
       em <- fontEntryRe.findAllMatchIn(fd.group(1))
-      tu <- fontToUni.get(em.group(2).toInt)
+      tu <- fontToUni.get(safeInt(em.group(2)))
       cm <- cmaps.get(tu)
     } out(em.group(1)) = cm
     out.toMap
@@ -389,6 +518,21 @@ object Pdf {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  /** Font state carried ACROSS content streams of one document: the font
+    * is GRAPHICS state that persists across BT/ET and — because a page's
+    * `/Contents` array parts concatenate into one logical stream per
+    * spec — across stream boundaries too (a `Tf` at the end of part 1
+    * governs the show operators at the start of part 2). One instance
+    * per document, created by [[extractText]].
+    */
+  private final class TextState {
+    var curCMap: Option[CMap] = None
+    var lastName: String = ""
+    // BT…ET can straddle a part boundary too (BT at the end of part 1,
+    // its shows and ET in part 2) — one logical stream, one flag
+    var inText: Boolean = false
+  }
+
   /** Evaluates the text operators of one decoded content stream into `out`;
     * returns true when at least one text-showing operator was found.
     * Strings stay RAW BYTES until a show operator consumes them: the
@@ -398,25 +542,21 @@ object Pdf {
   private def appendContentText(
       data: Array[Byte],
       out: java.lang.StringBuilder,
-      fontCMaps: Map[String, CMap]): Boolean = {
+      fontCMaps: Map[String, CMap],
+      st: TextState): Boolean = {
     var found = false
-    var inText = false
     var lineHasText = false
     var i = 0
     val n = data.length
     val pendingStrings =
       new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    // font is GRAPHICS state: persists across BT/ET (q/Q save/restore is
-    // out of subset scope — one current font suffices for generated docs)
-    var curCMap: Option[CMap] = None
-    var lastName: String = ""
 
     def newline(): Unit = {
       if (lineHasText) { out.append('\n'); lineHasText = false }
     }
     def show(b: Array[Byte]): Unit = {
-      if (inText) {
-        val s = curCMap match {
+      if (st.inText) {
+        val s = st.curCMap match {
           case Some(cm) => cm.decode(b)
           case None => decodeStringBytes(b)
         }
@@ -446,7 +586,7 @@ object Pdf {
         i += 1
         val nameStart = i
         while (i < n && isRegular(data(i) & 0xff)) i += 1
-        lastName = new String(data, nameStart, i - nameStart,
+        st.lastName = new String(data, nameStart, i - nameStart,
           StandardCharsets.ISO_8859_1)
       } else if (isRegular(c)) {
         val start = i
@@ -458,10 +598,10 @@ object Pdf {
         val isNumber = op.nonEmpty && op.forall(ch =>
           (ch >= '0' && ch <= '9') || ch == '-' || ch == '+' || ch == '.')
         if (isNumber) () else op match {
-          case "BT" => inText = true; pendingStrings.clear()
-          case "ET" => newline(); inText = false; pendingStrings.clear()
+          case "BT" => st.inText = true; pendingStrings.clear()
+          case "ET" => newline(); st.inText = false; pendingStrings.clear()
           case "Tf" =>
-            curCMap = fontCMaps.get(lastName)
+            st.curCMap = fontCMaps.get(st.lastName)
             pendingStrings.clear()
           case "Tj" | "TJ" =>
             pendingStrings.foreach(show)

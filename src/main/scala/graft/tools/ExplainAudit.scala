@@ -85,7 +85,12 @@ object ExplainAudit {
     // the code does not hint broadcast).
     locally {
       val q2 = graft.SparkEntry.queries("q2_join_topk")(spark, sfDir)
-      q2.count() // materialize so AQE finalizes its runtime plan
+      // collect() (it's a LIMIT 10) executes THIS Dataset's own
+      // QueryExecution, which is what finalizes its AdaptiveSparkPlan —
+      // count() would build a separate groupBy QueryExecution and leave
+      // q2's plan un-finalized, making the asserts below read the
+      // static plan while claiming to read the runtime one
+      q2.collect()
       dump("q2_join_topk final AQE plan (expect partial_sum before " +
         "exchange; semi-join broadcast-converted at this scale)", q2)
       val plan = q2.queryExecution.executedPlan.toString

@@ -271,4 +271,113 @@ class PdfSpec extends AnyFunSuite {
       .select($"url").as[String].collect()
     assert(hits.sameElements(Array("https://x.example/1/doc.pdf")))
   }
+
+  test("a content stream SHOWING the literal 'beginbfchar' is page text, " +
+      "not a CMap: classification follows /ToUnicode refs") {
+    val b = pdf("BT (use beginbfchar and beginbfrange to build cmaps) Tj ET")
+    assert(Pdf.extractText(b).get
+      .contains("use beginbfchar and beginbfrange to build cmaps"))
+  }
+
+  test("font and BT state persist across /Contents parts: Tf + BT in " +
+      "part 1 govern the glyph show in part 2") {
+    val cmap =
+      "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "3 beginbfchar\n<01> <0048>\n<02> <0065>\n<04> <006F>\nendbfchar\n" +
+        "1 beginbfrange\n<03> <03> <006C>\nendbfrange\nendcmap\n"
+    val part1 = "BT /F7 12 Tf 72 720 Td"
+    val part2 = "<0102030304> Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |3 0 obj << /Type /Page /Resources << /Font << /F7 5 0 R >> >> /Contents [4 0 R 7 0 R] >> endobj
+         |4 0 obj << /Length ${part1.length} >>
+         |stream
+         |$part1
+         |endstream endobj
+         |7 0 obj << /Length ${part2.length} >>
+         |stream
+         |$part2
+         |endstream endobj
+         |5 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${cmap.length} >>
+         |stream
+         |$cmap
+         |endstream endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val text = Pdf.extractText(b).get
+    assert(text.contains("Hello"), s"got: $text")
+  }
+
+  test("corrupt CMap with an oversized hex code degrades to an unbound " +
+      "font; the rest of the document still extracts") {
+    val cmap = "begincmap\n" +
+      "1 beginbfchar\n<FFFFFFFFFF> <0041>\nendbfchar\nendcmap\n"
+    val content = "BT /F7 12 Tf <4142> Tj (plain latin) Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |3 0 obj << /Type /Page /Resources << /Font << /F7 5 0 R >> >> /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream endobj
+         |5 0 obj << /Type /Font /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${cmap.length} >>
+         |stream
+         |$cmap
+         |endstream endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    // the 5-byte source code forces codeLen > 2 → CMap rejected (no
+    // binding), NOT a NumberFormatException that skips the whole doc
+    val text = Pdf.extractText(b).get
+    assert(text.contains("ABplain latin"), s"got: $text")
+  }
+
+  test("fonts bound through a /Type/ObjStm object stream resolve: " +
+      "packed page + font dicts bind the top-level ToUnicode CMap") {
+    val cmap =
+      "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "3 beginbfchar\n<01> <0048>\n<02> <0065>\n<04> <006F>\nendbfchar\n" +
+        "1 beginbfrange\n<03> <03> <006C>\nendbfrange\nendcmap\n"
+    val content = "BT /F7 12 Tf <0102030304> Tj ET"
+    // objects 3 (page w/ resources) and 5 (font) packed in an ObjStm —
+    // the modern-writer layout where a raw-byte scan sees NO font dicts
+    val o3 = "<< /Type /Page /Resources << /Font << /F7 5 0 R >> >> " +
+      "/Contents 4 0 R >>"
+    val o5 = "<< /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >>"
+    val hdr = s"3 0 5 ${o3.length + 1} "
+    val body = (hdr + o3 + "\n" + o5)
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(body); defl.finish()
+    val packedOut = new java.io.ByteArrayOutputStream()
+    val pbuf = new Array[Byte](4096)
+    while (!defl.finished()) packedOut.write(pbuf, 0, defl.deflate(pbuf))
+    defl.end()
+    val packed = packedOut.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((s"%PDF-1.5\n2 0 obj << /Type /ObjStm /N 2 " +
+      s"/First ${hdr.length} /Length ${packed.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    out.write(packed)
+    out.write(("\nendstream endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\n" +
+      "endstream endobj\n" +
+      s"6 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\n" +
+      "endstream endobj\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val text = Pdf.extractText(out.toByteArray).get
+    assert(text.contains("Hello"), s"got: $text")
+  }
+
+  test("an absurd 11-digit object number degrades to an unnumbered " +
+      "stream; its content still extracts") {
+    val content = "BT (survives huge objnum) Tj ET"
+    val b = (s"%PDF-1.4\n99999999999 0 obj << /Length ${content.length} " +
+      s">>\nstream\n$content\nendstream endobj\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(Pdf.extractText(b).get.contains("survives huge objnum"))
+  }
 }
