@@ -121,6 +121,16 @@ object SparkEntry {
     // gate here, while ann_ivf_cosine keeps the pruned nprobe<nlist shape.
     "ann_ivf_exact" -> ((s, dir) =>
       Ann.ivfTopK(s, dir, nlist = 16, nprobe = 16)),
+    // IVF-PQ: m-byte product-quantized codes per vector (32× smaller
+    // cells), ADC lookup-table scan over the probed partitions, exact
+    // rerank of the top candidates from the source table. rows-only;
+    // recall + degeneracy OpsSpec-gated.
+    "ann_ivfpq_cosine" -> ((s, dir) => Ann.ivfPqTopK(s, dir)),
+    // nprobe = nlist + rerank<=0 (re-rank every probed candidate)
+    // degenerates to exact brute force over the PQ index — the full
+    // DuckDB hash gate for the PQ layout + ADC + rerank path.
+    "ann_ivfpq_exact" -> ((s, dir) =>
+      Ann.ivfPqTopK(s, dir, nlist = 16, nprobe = 16, rerank = 0)),
 
     // ---- text analysis -----------------------------------------------------
     // orderBy here is ORACLE-COMPARISON plumbing, not operator semantics:
@@ -171,6 +181,8 @@ object SparkEntry {
     "ann_brute_cosine" -> Ann.bruteTopKSql(),
     // nprobe=nlist IVF ≡ brute force: same oracle as ann_brute_cosine
     "ann_ivf_exact" -> Ann.bruteTopKSql(),
+    // nprobe=nlist + full rerank IVF-PQ ≡ brute force: same oracle
+    "ann_ivfpq_exact" -> Ann.bruteTopKSql(),
     "text_langid" -> TextStats.langIdSql,
     "text_quality" -> TextStats.qualitySql,
     "text_token_counts" -> TextStats.tokenCountsSql,

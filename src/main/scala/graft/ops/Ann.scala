@@ -508,4 +508,337 @@ object Ann {
       .orderBy("id_a", "id_b")
     (pairs, Seq(sigs))
   }
+
+  // ===================== IVF-PQ (product quantization) =====================
+  //
+  // The 100-TB MEMORY layout for the embedding path (Jégou, Douze &
+  // Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  // 2011): the coarse quantizer is the same IVF cell structure as
+  // [[ensureIvfIndex]], but WITHIN a cell each vector is stored as `m`
+  // one-byte codes (one per dimension subspace) instead of `dim` floats —
+  // 64-dim float32 = 256 B → m=8 B, 32× — which is what lets a large
+  // cluster hold a 10^12-vector index in page cache instead of re-reading
+  // full vectors per query. Queries score candidates with the ASYMMETRIC
+  // DISTANCE (ADC) lookup table — m table lookups + adds per candidate,
+  // no per-dimension float math — then re-rank the top `rerank`
+  // candidates EXACTLY against the source table's true vectors.
+  //
+  // Documented design choices (all public practice):
+  //   - codebooks train on a deterministic stride sample (≤4096 vectors),
+  //     the standard PQ practice (Faiss trains PQ on a subsample);
+  //   - non-residual PQ: codes quantize the unit vector itself, not the
+  //     residual to its coarse centroid — simpler, and the exact rerank
+  //     absorbs the coarser approximation;
+  //   - determinism contract matches IVF-flat: stride init + Lloyd with
+  //     index-ordered tie-breaks, same result per (input, params).
+
+  /** Subspace boundaries: m contiguous slices of [0, dim); the last
+    * slice absorbs the remainder when m ∤ dim.
+    */
+  private def subBounds(dim: Int, m: Int): Array[(Int, Int)] = {
+    val mm = math.max(1, math.min(m, dim))
+    val dsub = dim / mm
+    Array.tabulate(mm)(s =>
+      (s * dsub, if (s == mm - 1) dim else (s + 1) * dsub))
+  }
+
+  /** Driver-side Lloyd k-means (L2), deterministic: stride init over the
+    * given sample order, argmin ties to the lower centroid index, empty
+    * clusters keep their previous centroid.
+    */
+  private def kmeansL2(
+      xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val kk = math.max(1, math.min(k, xs.length))
+    var cents = Array.tabulate(kk)(i =>
+      xs((i.toLong * xs.length / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val d = xs(0).length
+      val sums = Array.ofDim[Double](kk, d)
+      val cnts = new Array[Long](kk)
+      xs.foreach { x =>
+        val c = argminL2(x, cents)
+        val s = sums(c)
+        var i = 0
+        while (i < d) { s(i) += x(i); i += 1 }
+        cnts(c) += 1
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (cnts(c) == 0L) cents(c)
+        else {
+          val s = sums(c)
+          val out = new Array[Double](d)
+          var i = 0
+          while (i < d) { out(i) = s(i) / cnts(c); i += 1 }
+          out
+        })
+      it += 1
+    }
+    cents
+  }
+
+  private def argminL2(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(ct.length, x.length)
+      while (i < n) { val diff = x(i) - ct(i); s += diff * diff; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace PQ codebooks (m × ksub × dsub), Lloyd-trained on a
+    * deterministic stride sample of the corpus UNIT vectors.
+    */
+  def trainPqCodebooks(
+      spark: SparkSession,
+      sfDir: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 10): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val n = e.count()
+    val cap = 4096L
+    val stride = math.max(1L, n / cap)
+    var sample: Array[Array[Double]] = e
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(cap.toInt)
+      .collect().map(r => unitD(r._2))
+    if (sample.isEmpty)
+      sample = e.orderBy("vec_id").limit(cap.toInt).collect()
+        .map(r => unitD(r._2))
+    if (sample.isEmpty) return Array.empty
+    val dim = sample(0).length
+    subBounds(dim, m).map { case (lo, hi) =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi))
+      kmeansL2(subs, ksub, iters)
+    }
+  }
+
+  /** PQ code of one unit vector under `books`: one byte per subspace
+    * (argmin-L2 centroid index; ksub ≤ 256 by construction).
+    */
+  private def encodePq(
+      v: Array[Double],
+      bounds: Array[(Int, Int)],
+      books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val code = new Array[Byte](bounds.length)
+    var s = 0
+    while (s < bounds.length) {
+      val (lo, hi) = bounds(s)
+      val sub = java.util.Arrays.copyOfRange(v, lo, math.min(hi, v.length))
+      code(s) = argminL2(sub, books(s)).toByte
+      s += 1
+    }
+    code
+  }
+
+  def ivfPqIndexDirFor(
+      sfDir: String, nlist: Int, m: Int, ksub: Int, iters: Int): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|pq|$nlist|$m|$ksub|$iters"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"/tmp/graft_ivfpq_${safe}_${nlist}_${m}_$digest"
+  }
+
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  /** Trains coarse + PQ quantizers and persists the IVF-PQ index:
+    *
+    *   - `cells/cell=<c>/` parquet (vec_id, code BINARY) written
+    *     `partitionBy("cell")` — same partition-pruned inverted-list
+    *     layout as [[ensureIvfIndex]], but m bytes per vector instead of
+    *     dim floats;
+    *   - `centroids/`  coarse (cell, centroid);
+    *   - `codebooks/`  (sub, idx, centroid) — m·ksub rows, KBs;
+    *   - `_meta` params + source fingerprint written atomically LAST
+    *     (and deleted FIRST on rebuild: marker ⇒ complete index).
+    */
+  def ensureIvfPqIndex(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 5): String = ivfBuildLock.synchronized {
+    import spark.implicits._
+    val dir = ivfPqIndexDirFor(sfDir, nlist, m, ksub, iters)
+    val fp = LiveResultCache.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    val want = s"pq;nlist=$nlist;m=$m;ksub=$ksub;iters=$iters;fp=$fp"
+    val metaP = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readSmall(fs, metaP).contains(want)) return dir
+    if (fs.exists(metaP)) fs.delete(metaP, false)
+    val cents = trainIvfCentroids(spark, sfDir, nlist, iters)
+    val books = trainPqCodebooks(spark, sfDir, m, ksub, iters)
+    val bc = spark.sparkContext.broadcast((cents, books))
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vRaw) =>
+        val (cs, bk) = bc.value
+        val v = unitD(vRaw)
+        val bounds = subBounds(v.length, bk.length)
+        (id, argmaxDot(v, cs), encodePq(v, bounds, bk))
+      }
+      .toDF("vec_id", "cell", "code")
+      .repartitionByRange(parts, col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (ct, j) => (s, j, ct.toSeq) }
+    }.toSeq.toDF("sub", "idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    graft.index.DeltaLog.writeAtomicString(fs, s"$dir/_meta", want)
+    pqMemo.put(s"$dir|$want", (cents, books))
+    dir
+  }
+
+  /** Coarse centroids + codebooks reloaded from a persisted PQ index. */
+  def loadIvfPq(spark: SparkSession, pqDir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$pqDir/centroids")
+      .orderBy("cell").select("centroid").as[Seq[Double]]
+      .collect().map(_.toArray)
+    val raw = spark.read.parquet(s"$pqDir/codebooks")
+      .orderBy("sub", "idx")
+      .select("sub", "idx", "centroid").as[(Int, Int, Seq[Double])]
+      .collect()
+    val books = raw.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray).toArray).toArray
+    (cents, books)
+  }
+
+  /** ADC query over a persisted IVF-PQ index: probe the top-`nprobe`
+    * cells (partition-pruned scan of m-byte codes), score candidates by
+    * table lookup (score ≈ Σ_s dot(q_sub, codebook[s][code_s])), keep
+    * the top `rerank` by ADC, and re-rank them EXACTLY against the
+    * source table's true vectors. `rerank <= 0` skips the ADC cut and
+    * re-ranks every probed candidate — with nprobe = nlist that is
+    * exact brute force (the degeneracy oracle).
+    */
+  def ivfPqQuery(
+      spark: SparkSession,
+      sfDir: String,
+      pqDir: String,
+      queryVec: Array[Float],
+      k: Int = 10,
+      nprobe: Int = 4,
+      rerank: Int = 64,
+      excludeVecId: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val meta = readSmall(
+      new org.apache.hadoop.fs.Path(pqDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$pqDir/_meta")).getOrElse(
+      throw new IllegalStateException(s"no IVF-PQ index at $pqDir"))
+    val (cents, books) = pqMemo.getOrElseUpdate(s"$pqDir|$meta", {
+      if (pqMemo.size > 8) pqMemo.clear() // bounded, rebuildable
+      loadIvfPq(spark, pqDir)
+    })
+    if (cents.isEmpty || books.isEmpty || queryVec.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    val qUnit = unitD(queryVec)
+    val probes: Seq[Int] = cents.indices
+      .map(c => c -> {
+        var s = 0.0
+        var i = 0
+        val d = math.min(cents(c).length, qUnit.length)
+        while (i < d) { s += cents(c)(i) * qUnit(i); i += 1 }
+        s
+      })
+      .sortBy { case (c, s) => (-s, c) }
+      .take(math.max(1, nprobe))
+      .map(_._1)
+    // ADC lookup table: m × ksub partial dot products of the query
+    val bounds = subBounds(qUnit.length, books.length)
+    val tab: Array[Array[Double]] = bounds.zipWithIndex.map {
+      case ((lo, hi), s) =>
+        books(s).map { ct =>
+          var acc = 0.0
+          var i = lo
+          while (i < hi && i < qUnit.length) {
+            acc += qUnit(i) * ct(i - lo); i += 1
+          }
+          acc
+        }
+    }
+    val bTab = spark.sparkContext.broadcast(tab)
+    val adc = spark.read.parquet(s"$pqDir/cells")
+      .filter(col("cell").isin(probes: _*))
+      .filter(col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"), col("code"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, code) =>
+        val t = bTab.value
+        var s = 0.0
+        var j = 0
+        val n = math.min(code.length, t.length)
+        while (j < n) { s += t(j)((code(j) & 0xff) % t(j).length); j += 1 }
+        (id, s)
+      }
+      .toDF("vec_id", "adc")
+    val cand =
+      if (rerank > 0)
+        adc.orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
+      else adc
+    // exact rerank: true vectors fetched by id from the source table
+    val q = spark.createDataset(Seq(queryVec)).toDF("qv")
+    emb(spark, sfDir)
+      .join(cand.select("vec_id"), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))))
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
+        col("cos").as("c0"))
+      .orderBy(col("c0").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
+  /** IVF-PQ ANN top-k over the source table (ensure index → look up the
+    * query vector → ADC + exact rerank). Same empty-on-missing-id
+    * contract as the other ANN entry points.
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      sfDir: String,
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 64,
+      iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val pqDir = ensureIvfPqIndex(spark, sfDir, nlist, m, ksub, iters)
+    emb(spark, sfDir)
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Array[Float]]
+      .collect().headOption match {
+      case None => Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+      case Some(v) =>
+        ivfPqQuery(spark, sfDir, pqDir, v, k, nprobe, rerank,
+          excludeVecId = queryVecId)
+    }
+  }
 }

@@ -52,6 +52,19 @@ object ExplainAudit {
       "ivf cells scan lost its cell partition filter")
     println("ann ivf: PartitionFilters on cell ✓")
 
+    // IVF-PQ: same pruning contract over the m-byte code layout — the
+    // ADC scan must read only the probed cell= partitions
+    val ivfpq = graft.ops.Ann.ivfPqTopK(spark, sfDir, queryVecId = 0L,
+      k = 10, nlist = 8, nprobe = 2, iters = 3)
+    dump("ann ivf-pq query (expect PartitionFilters: cell IN (probes) on " +
+      "the pq cells scan; exact rerank join on the source table)", ivfpq)
+    val pqPlan = ivfpq.queryExecution.executedPlan.toString
+    require(
+      raw"PartitionFilters: \[[^\]]*cell[^\]]*".r
+        .findFirstIn(pqPlan).isDefined,
+      "ivf-pq cells scan lost its cell partition filter")
+    println("ann ivf-pq: PartitionFilters on cell ✓")
+
     // the >1M-term serving path: driver dict disabled → exact lookups go
     // through the DISTRIBUTED dictionary scan. This frame mirrors
     // Search.plan's exactPart filter (Search.scala) — expect PushedFilters

@@ -171,6 +171,58 @@ class OpsSpec extends AnyFunSuite {
       s"no cell partition filter in:\n$plan")
   }
 
+  test("ann ivf-pq: nprobe = nlist with full rerank degenerates to " +
+      "exact brute force; codes are m bytes, not dim floats") {
+    val brute = Ann.bruteTopK(spark, dir, queryVecId = 0L, k = 5)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toVector
+    val pq = Ann.ivfPqTopK(spark, dir, queryVecId = 0L, k = 5,
+      nlist = 3, nprobe = 3, m = 8, ksub = 4, rerank = 0, iters = 3)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toVector
+    assert(pq == brute) // identical rows AND scores via the exact rerank
+    val pqDir = Ann.ensureIvfPqIndex(spark, dir, nlist = 3, m = 8,
+      ksub = 4, iters = 3)
+    val codes = spark.read.parquet(s"$pqDir/cells")
+      .select($"code").as[Array[Byte]].collect()
+    assert(codes.nonEmpty && codes.forall(_.length == 8),
+      "each vector stored as m=8 one-byte codes")
+  }
+
+  test("ann ivf-pq: planted twins found by ADC + small rerank at one " +
+      "probe; codebook training is deterministic") {
+    val r = Ann.ivfPqTopK(spark, dir, queryVecId = 0L, k = 3,
+      nlist = 3, nprobe = 1, m = 8, ksub = 4, rerank = 3, iters = 3)
+      .select($"vec_id").as[Long].collect().toVector
+    assert(r.take(2).toSet == Set(1L, 2L), s"got $r")
+    val b1 = Ann.trainPqCodebooks(spark, dir, m = 8, ksub = 4, iters = 5)
+    val b2 = Ann.trainPqCodebooks(spark, dir, m = 8, ksub = 4, iters = 5)
+    assert(b1.length == b2.length && b1.zip(b2).forall { case (x, y) =>
+      x.length == y.length &&
+        x.zip(y).forall { case (a, b) => a.sameElements(b) }
+    })
+  }
+
+  test("ann ivf-pq: persisted index round-trips (codebooks reload " +
+      "bit-identical) and the probed ADC scan is partition-pruned") {
+    val pqDir = Ann.ensureIvfPqIndex(spark, dir, nlist = 3, m = 8,
+      ksub = 4, iters = 3)
+    val (cents, books) = Ann.loadIvfPq(spark, pqDir)
+    assert(cents.length == 3 && books.length == 8)
+    val trained = Ann.trainPqCodebooks(spark, dir, m = 8, ksub = 4,
+      iters = 3)
+    assert(books.zip(trained).forall { case (x, y) =>
+      x.length == y.length &&
+        x.zip(y).forall { case (a, b) => a.sameElements(b) }
+    }, "reloaded codebooks differ from a deterministic retrain")
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    val plan = Ann.ivfPqQuery(spark, dir, pqDir, qv, k = 3, nprobe = 1,
+      rerank = 3, excludeVecId = 0L)
+      .queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no cell partition filter in:\n$plan")
+  }
+
   test("embedding cosine near-dup pairs find the planted twins") {
     val pairs = Ann.cosineNearDupPairs(spark, dir, threshold = 0.95)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
