@@ -48,30 +48,74 @@ object DeltaLog {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Atomic small-file write: temp + rename, so concurrent readers see
-    * either the old content or the new — never a truncated in-place
-    * overwrite. Shared by every marker/meta writer in the index package.
+  /** Atomic small-file write: temp + atomic-replace rename, so concurrent
+    * readers see either the old content or the new — never a truncated
+    * overwrite and NEVER an absent file. Shared by every marker/meta
+    * writer in the index package.
+    *
+    * `FileSystem.rename` has no overwrite contract, and the local FS
+    * Spark actually installs (Hive's ProxyLocalFileSystem) REFUSES to
+    * overwrite — measured: 1999/2000 rewrites returned false — which
+    * forced every meta rewrite through a delete-then-rename fallback
+    * whose absent-file window ServeSpec's commit-race test caught as a
+    * reader 500 on a vanished meta.json. So:
+    *
+    *   - `file:` scheme → java.nio ATOMIC_MOVE (POSIX rename(2), atomic
+    *     replace, no window). The raw write leaves no checksum sidecar;
+    *     stale `.crc` sidecars from older writers are deleted first so a
+    *     Checksum reader can't verify NEW content against an OLD crc
+    *     (with no crc present, reads fall back to raw — no absent-data
+    *     window either way).
+    *   - other schemes → `FileContext.rename(…, Rename.OVERWRITE)`, the
+    *     API that DOES contract atomic replace (HDFS implements it);
+    *     only a filesystem with no FileContext binding at all takes the
+    *     legacy delete+retry fallback.
+    *
+    * The temp name is unique per write: concurrent writers to the same
+    * destination (Serve maintenance + streaming foreachBatch) must not
+    * consume each other's temp file — with a shared name, the loser's
+    * fallback would DELETE the destination and then fail its rename.
     */
   private[graft] def writeAtomicString(
       f: FileSystem, path: String, content: String): Unit = {
     val dest = new Path(path)
-    val tmp = new Path(path + ".tmp")
-    val out = f.create(tmp, true)
-    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    // rename FIRST: POSIX (and HDFS overwrite-rename) atomically replaces
-    // dest, so concurrent readers see old or new content with no
-    // absent-file window. Only a filesystem whose rename refuses to
-    // overwrite takes the delete+retry fallback (which has a window, but
-    // beats failing the write).
-    if (!f.rename(tmp, dest)) {
-      if (f.exists(dest)) f.delete(dest, false)
-      // the destination was just deleted: a second failure must SURFACE,
-      // not silently leave meta.json/_committed/_compacted absent (a
-      // deleted meta is fatal; a deleted commit marker makes a committed
-      // delta invisible)
-      require(f.rename(tmp, dest),
-        s"atomic write failed: rename $tmp -> $dest after delete")
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val uniq = s".tmp.${java.lang.Thread.currentThread().getId}." +
+      java.lang.System.nanoTime()
+    if (f.getScheme == "file") {
+      val p = java.nio.file.Paths.get(dest.toUri.getPath match {
+        case "" => path
+        case up => up
+      })
+      val name = p.getFileName.toString
+      val tmp = p.resolveSibling(name + uniq)
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.deleteIfExists(p.resolveSibling(s".$name.crc"))
+      java.nio.file.Files.deleteIfExists(p.resolveSibling(s".$name.tmp.crc"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(path + uniq)
+      val out = f.create(tmp, true)
+      out.write(bytes)
+      out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext
+          .getFileContext(f.getUri, f.getConf)
+        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext binding: legacy path. The window is real but
+          // the second failure must SURFACE, not silently leave
+          // meta.json/_committed/_compacted absent (a deleted meta is
+          // fatal; a deleted commit marker hides a committed delta).
+          if (!f.rename(tmp, dest)) {
+            if (f.exists(dest)) f.delete(dest, false)
+            require(f.rename(tmp, dest),
+              s"atomic write failed: rename $tmp -> $dest after delete")
+          }
+      }
     }
   }
 

@@ -240,4 +240,51 @@ class DeltaProtocolSpec extends AnyFunSuite {
       IndexHandles.invalidate(dir)
     }
   }
+
+  test("writeAtomicString: concurrent readers never observe an absent or " +
+      "torn destination across rapid rewrites (ServeSpec 500 root cause)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_atomicwrite_").toString
+    val path = s"$dir/meta.json"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaLog.writeAtomicString(fs, path, "{\"rev\":0}")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val readers = (1 to 4).map { w =>
+      val t = new Thread(() => {
+        val p = new org.apache.hadoop.fs.Path(path)
+        while (!stop.get() && errors.size() < 5) {
+          try {
+            val in = fs.open(p)
+            try {
+              val buf = new Array[Byte](64)
+              val n = in.read(buf)
+              val s = new String(buf, 0, math.max(0, n),
+                StandardCharsets.UTF_8)
+              if (!s.startsWith("{\"rev\":"))
+                errors.add(s"reader $w torn read: '$s'")
+            } finally in.close()
+            reads.incrementAndGet()
+          } catch {
+            case e: Exception => errors.add(s"reader $w: ${e.getMessage}")
+          }
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      var r = 1
+      while (r <= 3000 && errors.isEmpty) {
+        DeltaLog.writeAtomicString(fs, path, s"""{"rev":$r}""")
+        r += 1
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(10000))
+    }
+    assert(errors.isEmpty, s"${errors.size} failed: ${errors.peek()}")
+    assert(reads.get() > 100, s"only ${reads.get()} reads completed")
+  }
 }
