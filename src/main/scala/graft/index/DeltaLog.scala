@@ -240,7 +240,7 @@ object DeltaLog {
   private val tombRowsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private def tombRowCount(
+  private[graft] def tombRowCount(
       spark: SparkSession, dir: String, seqs: Seq[Int]): Long = {
     val hconf = spark.sparkContext.hadoopConfiguration
     seqs.map { s =>
@@ -260,6 +260,14 @@ object DeltaLog {
     }.sum
   }
 
+  /** Tombstone working-set cap for driver collects/broadcasts — THE single
+    * definition shared by the query handles ([[graft.query.IndexHandles]]
+    * tombOverflow) and the maintenance liveness join below.
+    */
+  private[graft] def maxDriverTombstones(spark: SparkSession): Long =
+    spark.conf.getOption("graft.maxDriverTombstones").map(_.toLong)
+      .getOrElse(10000000L)
+
   /** Applies the liveness rule to a frame carrying a `_seq` layer column.
     * The tombstone side is usually compaction-bounded small and broadcast —
     * but a maintenance lull under heavy churn can leave more tombstones
@@ -278,9 +286,7 @@ object DeltaLog {
     tombstonesDf(spark, dir, seqs) match {
       case None => layers.drop("_seq")
       case Some(t) =>
-        val cap = spark.conf
-          .getOption("graft.maxDriverTombstones").map(_.toLong)
-          .getOrElse(10000000L)
+        val cap = maxDriverTombstones(spark)
         val tombRows = tombRowCount(spark, dir, seqs)
         val side = if (tombRows > cap) t else broadcast(t)
         layers.join(side, Seq("docId"), "left")

@@ -331,10 +331,15 @@ object Ann {
       .repartitionByRange(parts, col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
+    bc.destroy() // consumed by the write action above; don't leak per rebuild
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     graft.index.DeltaLog.writeAtomicString(fs, s"$dir/_meta", want)
+    // same bound as the query-path miss: fingerprint-bearing keys are
+    // fresh after every rebuild, so an unguarded put would grow forever
+    // in a long-lived serving JVM whose source table is rewritten
+    if (centroidMemo.size > 8) centroidMemo.clear()
     centroidMemo.put(s"$dir|$want", cents)
     dir
   }
@@ -698,6 +703,7 @@ object Ann {
       .repartitionByRange(parts, col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
+    bc.destroy() // consumed by the write action above; don't leak per rebuild
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -706,6 +712,8 @@ object Ann {
     }.toSeq.toDF("sub", "idx", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     graft.index.DeltaLog.writeAtomicString(fs, s"$dir/_meta", want)
+    // bounded like the query-path miss: rebuilds mint fresh keys forever
+    if (pqMemo.size > 8) pqMemo.clear()
     pqMemo.put(s"$dir|$want", (cents, books))
     dir
   }

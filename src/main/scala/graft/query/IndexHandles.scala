@@ -36,13 +36,13 @@ final class IndexHandles private (
   val deltaSeqs: Seq[Int] = DeltaLog.listSeqs(spark, indexDir)
 
   /** Tombstone ROW count across the snapshot's deltas, summed from parquet
-    * footers — no Spark job. Upper-bounds the distinct-docId tombstone
-    * working set, so it gates the driver collect below.
+    * footers — no Spark job (shared, status-keyed-memoized implementation
+    * in [[DeltaLog.tombRowCount]]). Upper-bounds the distinct-docId
+    * tombstone working set, so it gates the driver collect below.
     */
   val tombRows: Long =
     if (deltaSeqs.isEmpty) 0L
-    else IndexBuilder.footerRowCounts(spark,
-      deltaSeqs.map(s => DeltaLog.removedPath(indexDir, s))).sum
+    else DeltaLog.tombRowCount(spark, indexDir, deltaSeqs)
 
   /** True when the tombstone working set is too large to collect to the
     * driver (`graft.maxDriverTombstones`, default 10M ≈ 120 MB of map
@@ -54,12 +54,8 @@ final class IndexHandles private (
     * bucket; [[postingsFor]] joins the tombstone frame without a
     * broadcast hint.
     */
-  val tombOverflow: Boolean = {
-    val cap = spark.conf
-      .getOption("graft.maxDriverTombstones").map(_.toLong)
-      .getOrElse(10000000L)
-    tombRows > cap
-  }
+  val tombOverflow: Boolean =
+    tombRows > DeltaLog.maxDriverTombstones(spark)
 
   /** docId → latest tombstone seq; a row from layer r is live iff
     * r >= tombSeq(docId). Compaction-bounded small; empty on fresh builds

@@ -28,8 +28,9 @@ import java.nio.charset.StandardCharsets
   *   - `/ToUnicode` CMaps for SIMPLE (non-CID) fonts: `beginbfchar` /
   *     `beginbfrange` sections (incl. the array form) are parsed from the
   *     CMap stream, bound to font names through the page resources'
-  *     `/Font << /Fx N 0 R >>` dicts and the font objects' `/ToUnicode`
-  *     refs, and applied to the strings shown while that font is selected
+  *     `/Font` dicts (inline `<< /Fx N 0 R >>` or indirect `M 0 R`) and
+  *     the font objects' `/ToUnicode` refs, and applied to the strings
+  *     shown while that font is selected
   *     (`Tf`) — so subsetted fonts whose string bytes are glyph ids
   *     extract real text instead of garbage. 1- and 2-byte code widths
   *     are supported (from the codespacerange or the entry hex widths);
@@ -77,6 +78,10 @@ object Pdf {
       // /Type/ObjStm containers: (dict, dataStart, dataEnd, isFlate)
       val objStmLocs =
         new scala.collection.mutable.ArrayBuffer[(String, Int, Int, Boolean)]()
+      // data spans of EVERY stream (content, image, font, ObjStm, XRef) —
+      // the complement is the file's STRUCTURAL text (object headers,
+      // dicts, xref), the only part the binding scans below may read
+      val streamSpans = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       var i = 0
       while (i >= 0 && i < bytes.length) {
         val s = indexOf(bytes, "stream", i)
@@ -103,6 +108,7 @@ object Pdf {
           val dataEnd = indexOf(bytes, "endstream", dataStart)
           if (dataEnd < 0) i = -1
           else {
+            streamSpans += ((dataStart, dataEnd))
             // skip streams that cannot hold page text operators:
             // /Subtype/Image (image XObjects), /Length1 (embedded font
             // PROGRAMS carry their decompressed length there — /FontFile
@@ -156,36 +162,65 @@ object Pdf {
           (if (fl) inflate(raw) else Some(raw))
             .map(expandObjStm(dict, _)).getOrElse("")
       }.mkString
+      // ---- structural text: the file MINUS every stream's data span,
+      // plus the re-serialized ObjStm contents. All binding scans below
+      // read ONLY this: (a) peak memory stays proportional to the
+      // object/dict skeleton, not the file (a 100 MB scanned PDF has KBs
+      // of structure — the old whole-file String was ~2× the file size
+      // per task); (b) bytes INSIDE streams can't forge references — a
+      // content stream that literally SHOWS "/ToUnicode 4 0 R" (a
+      // document about PDF internals) must not reclassify stream 4.
+      val structuralText: String = {
+        val sb = new java.lang.StringBuilder()
+        var prev = 0
+        streamSpans.foreach { case (a, b) =>
+          sb.append(new String(bytes, prev, a - prev,
+            StandardCharsets.ISO_8859_1))
+          prev = b
+        }
+        sb.append(new String(bytes, prev, bytes.length - prev,
+          StandardCharsets.ISO_8859_1))
+        if (objStmText.nonEmpty) sb.append('\n').append(objStmText)
+        sb.toString
+      }
       // ---- ToUnicode CMaps + font-name binding. A stream is a CMap
       // because a font's /ToUnicode points AT it — never because its data
       // happens to contain "beginbfchar" (a content stream legitimately
       // SHOWS that literal when the document is about PDF internals, and
       // must not be dropped from extraction for it).
-      val cmapObjs: Set[Int] = toUnicodeRefs(bytes) ++ (
-        if (objStmText.isEmpty) Set.empty[Int]
-        else toUnicodeRefs(
-          objStmText.getBytes(StandardCharsets.ISO_8859_1)))
-      val cmapByObj: Map[Int, CMap] = locs.iterator
+      val cmapObjs: Set[Int] = toUnicodeRefs(
+        structuralText.getBytes(StandardCharsets.ISO_8859_1))
+      // keyed on the STREAM's own span, not its object number: an
+      // incrementally-updated file can hold several generations of the
+      // same object number, and only the stream that actually PARSES as
+      // a CMap may be excluded from content extraction — a superseded
+      // content stream sharing the number must keep extracting
+      val cmapBySpan: Map[(Int, Int), (Int, CMap)] = locs.iterator
         .filter(l => l._1 >= 0 && cmapObjs.contains(l._1))
         .flatMap { l =>
           decodeLoc(l)
             .filterNot(looksBinary)
             .flatMap(d =>
               parseCMap(new String(d, StandardCharsets.ISO_8859_1)))
-            .map(l._1 -> _)
+            .map(cm => (l._2, l._3) -> (l._1, cm))
         }
         .toMap
+      val cmapByObj: Map[Int, CMap] =
+        cmapBySpan.values.groupBy(_._1).map { case (o, vs) =>
+          o -> vs.last._2
+        }
       val fontCMaps: Map[String, CMap] =
         if (cmapByObj.isEmpty) Map.empty
-        else bindFonts(bytes, cmapByObj, objStmText)
+        else bindFonts(structuralText, cmapByObj)
       // ---- pass B: decode + evaluate content streams ONE AT A TIME
-      // (ToUnicode-referenced streams excluded — a CMap's hex tokens are
-      // operands of cmap operators, never page text). Font state threads
-      // ACROSS streams: a /Contents array's parts form one logical
-      // stream per spec, so a Tf at the end of part 1 governs part 2.
+      // (streams that parsed as referenced CMaps excluded — a CMap's hex
+      // tokens are operands of cmap operators, never page text). Font
+      // state threads ACROSS streams: a /Contents array's parts form one
+      // logical stream per spec, so a Tf at the end of part 1 governs
+      // part 2.
       val st = new TextState
       locs.foreach { l =>
-        if (!(l._1 >= 0 && cmapObjs.contains(l._1)))
+        if (!cmapBySpan.contains((l._2, l._3)))
           decodeLoc(l).foreach { d =>
             if (!looksBinary(d) && appendContentText(d, out, fontCMaps, st))
               foundAnyTextOp = true
@@ -203,9 +238,10 @@ object Pdf {
     }
   }
 
-  /** Object numbers referenced as `/ToUnicode N G R` anywhere in the
-    * file — the authoritative "this stream is a CMap" set for
-    * [[extractText]]'s classification.
+  /** Object numbers referenced as `/ToUnicode N G R` in the given
+    * STRUCTURAL bytes (stream data excised by the caller, so shown text
+    * can't forge a reference) — the authoritative "this stream is a
+    * CMap" set for [[extractText]]'s classification.
     */
   private def toUnicodeRefs(bytes: Array[Byte]): Set[Int] = {
     val out = Set.newBuilder[Int]
@@ -460,21 +496,21 @@ object Pdf {
   private val objHeaderRe = """(\d+)\s+\d+\s+obj""".r
   private val toUniRefRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private val fontDictRe = """(?s)/Font\s*<<([^>]*)>>""".r
+  private val fontRefRe = """/Font\s+(\d+)\s+\d+\s+R""".r
   private val fontEntryRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
 
-  /** Font NAME → CMap: resource `/Font << /Fx N 0 R >>` entries resolve
-    * to font objects, whose `/ToUnicode M 0 R` refs resolve to the parsed
-    * CMap streams. Scans the raw file text PLUS the re-serialized
-    * contents of any `/Type/ObjStm` containers ([[expandObjStm]]), so
-    * fonts and resources packed into object streams (PDF 1.5+ writers)
-    * bind too; a name bound on several pages keeps the last binding.
+  /** Font NAME → CMap: resource `/Font` dicts — both the inline
+    * `/Font << /Fx N 0 R >>` form and the indirect `/Font M 0 R` form
+    * (entries read from object M's body, a layout many writers emit) —
+    * resolve to font objects, whose `/ToUnicode M 0 R` refs resolve to
+    * the parsed CMap streams. Scans the file's STRUCTURAL text (stream
+    * data excised, ObjStm contents re-serialized in), so fonts and
+    * resources packed into object streams bind too; a name bound on
+    * several pages keeps the last binding.
     */
   private def bindFonts(
-      bytes: Array[Byte],
-      cmaps: Map[Int, CMap],
-      objStmText: String): Map[String, CMap] = {
-    val whole = new String(bytes, StandardCharsets.ISO_8859_1) +
-      "\n" + objStmText
+      whole: String,
+      cmaps: Map[Int, CMap]): Map[String, CMap] = {
     val headers = objHeaderRe.findAllMatchIn(whole)
       .map(m => (m.start, safeInt(m.group(1)))).toArray
     def enclosing(pos: Int): Int = {
@@ -494,12 +530,28 @@ object Pdf {
       }
       .toMap
     val out = scala.collection.mutable.HashMap.empty[String, CMap]
-    for {
-      fd <- fontDictRe.findAllMatchIn(whole)
-      em <- fontEntryRe.findAllMatchIn(fd.group(1))
-      tu <- fontToUni.get(safeInt(em.group(2)))
-      cm <- cmaps.get(tu)
-    } out(em.group(1)) = cm
+    def bindEntries(dictBody: String): Unit =
+      for {
+        em <- fontEntryRe.findAllMatchIn(dictBody)
+        tu <- fontToUni.get(safeInt(em.group(2)))
+        cm <- cmaps.get(tu)
+      } out(em.group(1)) = cm
+    fontDictRe.findAllMatchIn(whole).foreach(fd => bindEntries(fd.group(1)))
+    // indirect form: object M's whole body is the font dict; entries are
+    // exclusively name → font-object refs per spec, and any stray
+    // ref-shaped match dies in the fontToUni/cmaps resolution anyway
+    if (fontRefRe.findFirstIn(whole).isDefined) {
+      val bodyByNum: Map[Int, (Int, Int)] = headers.indices.map { k =>
+        val (pos, num) = headers(k)
+        val end = if (k + 1 < headers.length) headers(k + 1)._1
+          else whole.length
+        num -> (pos, end)
+      }.toMap // duplicate object numbers: the LAST body wins, as above
+      for {
+        m <- fontRefRe.findAllMatchIn(whole)
+        bb <- bodyByNum.get(safeInt(m.group(1)))
+      } bindEntries(whole.substring(bb._1, bb._2))
+    }
     out.toMap
   }
 

@@ -380,4 +380,84 @@ class PdfSpec extends AnyFunSuite {
       .getBytes(StandardCharsets.ISO_8859_1)
     assert(Pdf.extractText(b).get.contains("survives huge objnum"))
   }
+
+  private val helloCmap =
+    "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+      "3 beginbfchar\n<01> <0048>\n<02> <0065>\n<04> <006F>\nendbfchar\n" +
+      "1 beginbfrange\n<03> <03> <006C>\nendbfrange\nendcmap\n"
+
+  test("indirect /Font M 0 R resource form binds the ToUnicode CMap " +
+      "(the font dict lives in its own object, not inline)") {
+    val content = "BT /F7 12 Tf <0102030304> Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |3 0 obj << /Type /Page /Resources << /Font 9 0 R >> /Contents 4 0 R >> endobj
+         |9 0 obj << /F7 5 0 R >> endobj
+         |4 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream endobj
+         |5 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${helloCmap.length} >>
+         |stream
+         |$helloCmap
+         |endstream endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val text = Pdf.extractText(b).get
+    assert(text.contains("Hello"), s"got: $text")
+  }
+
+  test("reused object number across generations: a superseded content " +
+      "stream sharing the CMap's object number still extracts") {
+    // incrementally-updated file: obj 6 appears TWICE — first as an old
+    // generation's content stream, later as the font's ToUnicode CMap.
+    // Only the stream that PARSES as a CMap may be excluded from
+    // extraction; a number-keyed exclusion would silently drop the text.
+    val oldGen = "BT (old generation text) Tj ET"
+    val content = "BT /F7 12 Tf <0102030304> Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |6 0 obj << /Length ${oldGen.length} >>
+         |stream
+         |$oldGen
+         |endstream endobj
+         |3 0 obj << /Type /Page /Resources << /Font << /F7 5 0 R >> >> /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream endobj
+         |5 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${helloCmap.length} >>
+         |stream
+         |$helloCmap
+         |endstream endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val text = Pdf.extractText(b).get
+    assert(text.contains("old generation text"), s"got: $text")
+    assert(text.contains("Hello"), s"got: $text")
+    assert(!text.contains("begincodespacerange"))
+  }
+
+  test("a content stream SHOWING the literal '/ToUnicode 4 0 R' cannot " +
+      "reclassify stream 4: binding scans read structural text only") {
+    val shown = "BT (docs say use /ToUnicode 4 0 R here) Tj ET"
+    val target = "BT (object four page text) Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |4 0 obj << /Length ${target.length} >>
+         |stream
+         |$target
+         |endstream endobj
+         |7 0 obj << /Length ${shown.length} >>
+         |stream
+         |$shown
+         |endstream endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val text = Pdf.extractText(b).get
+    assert(text.contains("object four page text"), s"got: $text")
+    assert(text.contains("docs say use /ToUnicode 4 0 R here"))
+  }
 }
