@@ -29,15 +29,13 @@ final class Checkpoint(spark: SparkSession, indexDir: String, buildId: String) {
   def mark(stage: String, group: Int, rows: Long, wallMs: Long): Unit = {
     val p = markerPath(stage, group)
     fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
-    val out = fs.create(tmp, true)
     val json =
       s"""{"buildId":"$buildId","stage":"$stage","group":$group,""" +
         s""""status":"done","rows":$rows,"wallMs":$wallMs}"""
-    out.write(json.getBytes(StandardCharsets.UTF_8))
-    out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // the shared atomic writer, NOT delete-then-rename: the local FS Spark
+    // installs refuses overwriting renames, and a discarded rename result
+    // would silently lose the marker (stage re-runs on every resume)
+    DeltaLog.writeAtomicString(fs, p.toString, json)
   }
 
   /** Runs `body` unless the (stage, group) marker exists; records rows and

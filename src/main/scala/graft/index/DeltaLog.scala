@@ -125,9 +125,14 @@ object DeltaLog {
     *
     * A missing, empty, or garbage marker reads as 0 — that is SAFE, not
     * just lenient: re-exposing folded deltas over the folded base yields
-    * the identical live view (each affected doc's tombstone kills the
-    * folded layer-0 rows and its delta rows re-supply the same content),
-    * so a marker lost to a crash degrades read cost, never correctness.
+    * the identical live view, BECAUSE every docId a delta writes reads as
+    * tombstoned at its seq — including docs merely ADDED by the delta
+    * ([[tombstonesDf]] derives those entries from the delta's own docs/
+    * table). The tombstone kills each such doc's folded layer-0 rows and
+    * its delta rows re-supply the same content; a marker lost to a crash
+    * (and likewise a compact() restarted mid-fold) degrades read cost,
+    * never correctness. Were adds untombstoned, both rows would read as
+    * live and the doc would be double-materialized.
     */
   def compactedThrough(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
@@ -190,16 +195,51 @@ object DeltaLog {
     * the small side of every liveness join; None when no deltas. Callers
     * holding a handle pass the seq listing captured at handle construction
     * so every derived frame shares one consistent snapshot.
+    *
+    * The set unions the WRITTEN kill tombstones (`removed/`) with DERIVED
+    * entries (docId, seq) from each delta's `docs/` table: every docId a
+    * delta writes — docs merely ADDED included — reads as tombstoned at its
+    * seq. For an add this changes nothing in normal state (its only rows
+    * live at `_seq = s >= s`), but it upholds the invariant the compaction
+    * fold's restart/lost-marker safety rests on (see [[compactedThrough]]):
+    * were adds untombstoned, a re-exposed folded delta would read the add's
+    * folded layer-0 copy AND its delta rows as live. Deriving (instead of
+    * writing add rows into `removed/`) keeps the kill set pure for the
+    * compaction trigger and retrofits the invariant onto deltas committed
+    * by older writers.
     */
   def tombstonesDf(
+      spark: SparkSession, dir: String, seqs: Seq[Int]): Option[DataFrame] =
+    killTombstonesDf(spark, dir, seqs).map { removed =>
+      val f = fs(spark, dir)
+      // hand-crafted/degenerate deltas may lack docs/ — skip, don't fail
+      val docsDirs = seqs.map(s => s"${seqPath(dir, s)}/docs")
+        .filter(p => f.exists(new Path(p)))
+      val sides =
+        if (docsDirs.isEmpty) removed
+        else removed.unionByName(spark.read.parquet(docsDirs: _*)
+          .select(col("docId"), col("seq")))
+      sides.groupBy("docId").agg(max(col("seq")).cast("int").as("tombSeq"))
+    }
+
+  def tombstonesDf(spark: SparkSession, dir: String): Option[DataFrame] =
+    tombstonesDf(spark, dir, listSeqs(spark, dir))
+
+  /** WRITTEN kill tombstones only (replaced/removed docs — no derived add
+    * entries), ungrouped (docId, seq). This is the read the compaction
+    * TRIGGER wants: a pure-add delta kills nothing and must not drag the
+    * fold forward.
+    */
+  private[graft] def killTombstonesDf(
       spark: SparkSession, dir: String, seqs: Seq[Int]): Option[DataFrame] =
     if (seqs.isEmpty) None
     else Some(spark.read
       .parquet(seqs.map(s => removedPath(dir, s)): _*)
-      .groupBy("docId").agg(max(col("seq")).cast("int").as("tombSeq")))
+      .select(col("docId"), col("seq")))
 
-  def tombstonesDf(spark: SparkSession, dir: String): Option[DataFrame] =
-    tombstonesDf(spark, dir, listSeqs(spark, dir))
+  private[graft] def killTombstonesDf(
+      spark: SparkSession, dir: String): Option[DataFrame] =
+    killTombstonesDf(spark, dir, listSeqs(spark, dir))
 
   /** Driver-collected tombstones for the WAND decode filter. Bounded by
     * compaction (min(fraction·docCount, tombstoneAbsoluteCap) triggers a
@@ -243,8 +283,8 @@ object DeltaLog {
   private[graft] def tombRowCount(
       spark: SparkSession, dir: String, seqs: Seq[Int]): Long = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    seqs.map { s =>
-      val p = new Path(removedPath(dir, s))
+    def rowsUnder(path: String): Long = {
+      val p = new Path(path)
       val f = p.getFileSystem(hconf)
       if (!f.exists(p)) 0L
       else {
@@ -257,7 +297,13 @@ object DeltaLog {
         tombRowsMemo.getOrElseUpdate(key,
           sts.map(IndexBuilder.footerRowCount(_, hconf)).sum)
       }
-    }.sum
+    }
+    // removed/ + docs/: [[tombstonesDf]] derives an add-tombstone per doc
+    // row, so the liveness working set the overflow gates bound includes
+    // both sides
+    seqs.map(s =>
+      rowsUnder(removedPath(dir, s)) +
+        rowsUnder(s"${seqPath(dir, s)}/docs")).sum
   }
 
   /** Tombstone working-set cap for driver collects/broadcasts — THE single

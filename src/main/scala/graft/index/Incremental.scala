@@ -79,7 +79,14 @@ object Incremental {
     val postingsOld = DeltaLog.postingsView(spark, indexDir)
       .select($"termId", $"docId", $"tf", $"docLen")
 
-    val pageKeys = pagesNew.select($"url", $"warc_ts".as("new_ts"))
+    // last-write-wins per-url dedup, same as build(): a snapshot with two
+    // rows for one url would otherwise multiply through the joins below
+    // (pageKeys × changedPages → 4 copies, summed tf/docLen doubled,
+    // duplicate doc rows under a single docId)
+    val pagesIn =
+      if (conf.assumeUniqueUrls) pagesNew
+      else IndexBuilder.dedupSnapshot(pagesNew)
+    val pageKeys = pagesIn.select($"url", $"warc_ts".as("new_ts"))
 
     // M1: new or stale urls
     val joined = pageKeys.join(
@@ -107,23 +114,34 @@ object Incremental {
     // to zero surviving tokens is REMOVED and not re-added (add_document
     // removes first, then skips the empty insert — model.rs:229-247).
     // Marker rows (term = null) carry "extraction succeeded" per url.
-    val changedPages = pagesNew
+    val changedPages = pagesIn
       .join(toIndexUrls.select("url"), "url")
       .select("url", "warc_ts", "html", "text")
       .as[(String, java.sql.Timestamp, Array[Byte], String)]
     val ftDeltaRaw = changedPages.mapPartitions { it =>
+      // same zero-alloc count table as the build's ft stage — the
+      // HashMap[String, Integer] loop this replaced was the measured
+      // allocation-bandwidth wall TermCounter exists to avoid (27% CPU,
+      // 6.5× GC at 16 cores; see TermCounter's doc), and a bulk re-index
+      // batch approaches build-sized input
+      val tc = new TermCounter()
       it.flatMap { case (url, ts, html, text) =>
         Extract.extractText(html, text) match {
           case None => Iterator.empty // malformed → old version survives
           case Some(content) =>
-            val counts = new java.util.HashMap[String, Integer]()
-            Lexer.foreachToken(content)(t =>
-              counts.merge(t, 1, (a, b) => a + b))
-            val out = Iterator.newBuilder[(String, java.sql.Timestamp,
-              String, Int)]
-            out += ((url, ts, null, 0)) // extraction-succeeded marker
-            counts.forEach((k, v) => out += ((url, ts, k, v)))
-            out.result()
+            tc.beginDoc()
+            Lexer.foreachTokenRaw(content)(
+              (cs, s, e, stemmed) => tc.add(cs, s, e, stemmed))
+            val out = new Array[(String, java.sql.Timestamp, String, Int)](
+              tc.nTouched + 1)
+            out(0) = ((url, ts, null, 0)) // extraction-succeeded marker
+            var i = 0
+            while (i < tc.nTouched) {
+              val slot = tc.touched(i)
+              out(i + 1) = ((url, ts, tc.termAt(slot), tc.countAt(slot)))
+              i += 1
+            }
+            out.iterator
         }
       }
     }.toDF("url", "warc_ts", "term", "tf")
@@ -267,6 +285,16 @@ object Incremental {
       .parquet(versionedPath(IndexBuilder.termsPath(indexDir), seq))
     Seq(statsNew).toDF().write.mode("overwrite")
       .parquet(versionedPath(IndexBuilder.statsPath(indexDir), seq))
+    // the written tombstone table holds only KILLS (replaced/removed docs);
+    // docs merely ADDED at this seq are tombstoned too, but DERIVED at read
+    // time from this delta's docs/ table ([[DeltaLog.tombstonesDf]] unions
+    // removed/ with docs-written (docId, seq)) — that derived entry is what
+    // makes the compaction fold IDEMPOTENT for adds (a crashed compact()
+    // restart, or a lost _compacted marker re-exposing folded deltas, would
+    // otherwise read an added doc's folded layer-0 copy AND its delta rows
+    // as live — permanent double-materialization). Deriving instead of
+    // writing keeps the removed/ table = kill set (the compaction trigger
+    // below counts it) and fixes pre-existing indexes for free.
     DeltaLog.commitDelta(spark, indexDir, seq, tombstones = affectedOld)
     swapVersioned(spark, indexDir, seq)
 
@@ -289,8 +317,10 @@ object Incremental {
 
     // ---- compaction policy: fold deltas into the base when enough have
     // accumulated or tombstones grew past a fraction of the corpus -------
-    val tombCount = DeltaLog.tombstonesDf(spark, indexDir)
-      .map(_.count()).getOrElse(0L)
+    // KILL tombstones only: a pure-add delta must not drag the fold
+    // forward (the derived add-tombstones kill nothing in normal reads)
+    val tombCount = DeltaLog.killTombstonesDf(spark, indexDir)
+      .map(_.select($"docId").distinct().count()).getOrElse(0L)
     // seqs are monotonic ACROSS compactions (compacted dirs linger through
     // the deletion grace), so the trigger counts visible uncompacted
     // deltas, not the raw seq number

@@ -79,6 +79,22 @@ object IndexBuilder {
   def blocksPath(dir: String) = s"$dir/blocks"
   def statsPath(dir: String) = s"$dir/stats"
 
+  /** Last-write-wins per-url dedup of a snapshot table: newest `warc_ts`
+    * survives, deterministic content-hash tiebreak within a timestamp.
+    * Shared by [[build]] and [[Incremental.update]] — a snapshot can hold
+    * several rows per url (e.g. a same-second recrawl), and an un-deduped
+    * update would multiply those rows through its joins (doubled tf/docLen,
+    * duplicate doc rows under one docId).
+    */
+  private[index] def dedupSnapshot(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("url")).orderBy(
+      col("warc_ts").desc,
+      xxhash64(coalesce(col("text"), lit("")), coalesce(col("html"), lit(""))))
+    pages.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   def build(
       spark: SparkSession,
       pages: DataFrame,
@@ -94,15 +110,7 @@ object IndexBuilder {
     // (deterministic content-hash tiebreak). One shuffle on url; elided
     // when the input is unique-by-url by construction.
     val pagesIn =
-      if (conf.assumeUniqueUrls) pages
-      else {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy($"url").orderBy(
-          $"warc_ts".desc,
-          xxhash64(coalesce($"text", lit("")), coalesce($"html", lit(""))))
-        pages.withColumn("_rn", row_number().over(w))
-          .filter($"_rn" === 1).drop("_rn")
-      }
+      if (conf.assumeUniqueUrls) pages else dedupSnapshot(pages)
 
     // ---- stage ft: extract → tokenize → per-doc term counts (no shuffle)
     val ftRows = cp.stage("ft") {

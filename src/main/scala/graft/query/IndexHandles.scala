@@ -2,6 +2,7 @@ package graft.query
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -77,6 +78,27 @@ final class IndexHandles private (
       import spark.implicits._
       Some(tombMap.toSeq.toDF("docId", "tombSeq"))
     }
+
+  /** Handle-scoped broadcast of [[tombMap]] for the distributed WAND path.
+    * The map is immutable per index version, so a per-QUERY
+    * `sparkContext.broadcast` re-serialized and re-shipped up to
+    * `graft.maxDriverTombstones` entries (~120 MB) on every distributed
+    * query and left a broadcast block behind until the ContextCleaner
+    * caught up. Built lazily — the warm driver-local path never touches
+    * it — and executor copies are dropped on [[release]].
+    */
+  @volatile private var bTombV: Broadcast[Map[Long, Int]] = null
+  private[query] def bTombMap: Broadcast[Map[Long, Int]] = {
+    var b = bTombV
+    if (b == null) synchronized {
+      b = bTombV
+      if (b == null) {
+        b = spark.sparkContext.broadcast(tombMap)
+        bTombV = b
+      }
+    }
+    b
+  }
 
   val stats: Stats = {
     import spark.implicits._
@@ -359,6 +381,11 @@ final class IndexHandles private (
       blocksDf.unpersist()
       deltaBlocksDf.foreach(_.unpersist())
     }
+    // unpersist (not destroy): an in-flight query past the displacement
+    // grace can still re-fetch from the driver copy; executor memory is
+    // what must not accumulate across versions
+    val b = bTombV
+    if (b != null) b.unpersist(false)
   }
 }
 

@@ -455,7 +455,9 @@ object Wand {
 
     val blocks = layeredBlocks(h, qp.terms.map(_.termId))
     val bInfo = spark.sparkContext.broadcast(termInfo)
-    val bTomb = spark.sparkContext.broadcast(tomb)
+    // handle-scoped: the tombstone map is immutable per index version, so
+    // re-broadcasting it per query would re-serialize up to ~120 MB each time
+    val bTomb = h.bTombMap
     val partials =
       if (qp.terms.size == 1 && tomb.isEmpty)
         // single term, no layers to align: every docId lives in exactly one
