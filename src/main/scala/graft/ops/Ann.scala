@@ -86,7 +86,11 @@ object Ann {
       tables: Int,
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    val dim = 64
+    // derive from the data, never hardcode: hyperplanes shorter than the
+    // vectors would silently hash only the first components (the dot loop
+    // runs over min(lengths)) and recall would degrade with no error
+    val dim = emb(spark, sfDir)
+      .select(size(col("embedding")).as("d")).limit(1).as[Int].head()
     val hp = (0 until tables).map(t =>
       hyperplanes(dim, planes, seed + t)).toArray
     val bHp = spark.sparkContext.broadcast(hp)

@@ -48,21 +48,13 @@ object StreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          // dedupe within the batch (a feed can carry several snapshots of
-          // one url per batch): keep the newest per url
-          import batch.sparkSession.implicits._
-          import org.apache.spark.sql.expressions.Window
-          // deterministic tiebreak for equal warc_ts (same-second recrawl
-          // in one batch): identical to the batch builder's upsert rule,
-          // so a crash-replay of the batch commits the same row
-          val w = Window.partitionBy($"url").orderBy(
-            $"warc_ts".desc,
-            xxhash64(coalesce($"text", lit("")), coalesce($"html", lit(""))))
-          val newest = batch
-            .withColumn("_rn", row_number().over(w))
-            .filter($"_rn" === 1).drop("_rn")
-          Incremental.update(batch.sparkSession, newest, indexDir, conf,
-            purgeVanished = false)
+          // within-batch dedupe (a feed can carry several snapshots of one
+          // url per batch; a crash-replay must commit the same row) is the
+          // SAME last-write-wins rule update() itself applies via
+          // IndexBuilder.dedupSnapshot — run it exactly once there instead
+          // of paying a second identical url-window shuffle per trigger
+          Incremental.update(batch.sparkSession, batch, indexDir,
+            conf.copy(assumeUniqueUrls = false), purgeVanished = false)
         }
         ()
       }
@@ -86,8 +78,11 @@ object StreamIngest {
         col("lang"))
       .agg(
         count(lit(1)).as("docs"),
-        sum(coalesce(length(col("text")), lit(0)) +
-          coalesce(length(col("html")), lit(0))).as("bytes"))
+        // octet_length: BYTES for the string column too — length() counts
+        // characters, undercounting non-ASCII text up to 4× against the
+        // binary html column's true byte size
+        sum(coalesce(octet_length(col("text")), lit(0)) +
+          coalesce(octet_length(col("html")), lit(0))).as("bytes"))
       .select(
         col("window.start").as("win_start"),
         col("window.end").as("win_end"),

@@ -86,7 +86,18 @@ object Pdf {
       while (i >= 0 && i < bytes.length) {
         val s = indexOf(bytes, "stream", i)
         if (s < 0) i = -1
-        else {
+        else if ({
+          // the spec mandates an EOL straight after the keyword — without
+          // this check, the bytes "stream" inside a dict's literal string
+          // (e.g. /Title (audio stream handling)) mis-anchor a bogus span
+          // that swallows the NEXT real stream's keyword, silently losing
+          // its content
+          val after = s + "stream".length
+          after >= bytes.length ||
+            (bytes(after) != '\n' && bytes(after) != '\r')
+        }) {
+          i = s + 1 // not the keyword — keep scanning
+        } else {
           // the stream's WHOLE object header (from the enclosing "obj"
           // keyword), not just the innermost "<<": a nested dict operand
           // like /DecodeParms << … >> sits closest to "stream" and would
@@ -205,10 +216,15 @@ object Pdf {
             .map(cm => (l._2, l._3) -> (l._1, cm))
         }
         .toMap
-      val cmapByObj: Map[Int, CMap] =
-        cmapBySpan.values.groupBy(_._1).map { case (o, vs) =>
-          o -> vs.last._2
-        }
+      // LAST generation in FILE order wins (incremental updates append
+      // newer objects after older ones) — iterating cmapBySpan.values
+      // would pick an arbitrary hash-order generation
+      val cmapByObj: Map[Int, CMap] = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[Int, CMap]
+        locs.foreach(l =>
+          cmapBySpan.get((l._2, l._3)).foreach { case (o, cm) => m(o) = cm })
+        m.toMap
+      }
       val fontCMaps: Map[String, CMap] =
         if (cmapByObj.isEmpty) Map.empty
         else bindFonts(structuralText, cmapByObj)
@@ -555,16 +571,29 @@ object Pdf {
     out.toMap
   }
 
+  /** Decompression-bomb guard: a hostile/corrupt Flate stream of a few KB
+    * can inflate to many GB; unbounded growth dies as OutOfMemoryError — an
+    * Error, NOT an Exception — which would escape extractText's
+    * parse-error-→-skip contract and kill the whole build task. No real
+    * text content stream approaches this.
+    */
+  private val MaxInflatedBytes: Int = 64 << 20
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {
       val inf = new java.util.zip.Inflater()
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(64, data.length) * 4L, 1L << 20).toInt)
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
-        else if (n == 0 && inf.needsDictionary()) throw new Exception("dict")
+        if (n > 0) {
+          if (out.size().toLong + n > MaxInflatedBytes)
+            throw new Exception("inflated size cap exceeded")
+          out.write(buf, 0, n)
+        } else if (n == 0 && inf.needsDictionary())
+          throw new Exception("dict")
       }
       inf.end()
       Some(out.toByteArray)

@@ -86,18 +86,10 @@ object BigDictBench {
       ("missingkeywordthatdoesnotexist", Search.Bm25), // fuzzy, no hit
       ("textur aray shaderz", Search.Bm25), // fuzzy, 3 typo tokens
       ("7000042", Search.Bm25)) // exact uid lookup (tlen+term IN pushdown)
-    def percentile(xs: Seq[Double], p: Double): Double = {
-      val s = xs.sorted
-      s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1))
-    }
     val results = queries.map { case (q, m) =>
-      Search.searchTop(spark, dir, q, m, 10).collect() // warm-up
-      val times = (0 until 10).map { _ =>
-        val t = System.nanoTime()
-        Search.searchTop(spark, dir, q, m, 10).collect()
-        (System.nanoTime() - t) / 1e6
-      }
-      (q, percentile(times, 0.50), percentile(times, 0.99))
+      val times = ScalingBench.timedQueryMs(spark, dir, q, m)
+      (q, ScalingBench.percentile(times, 0.50),
+        ScalingBench.percentile(times, 0.99))
     }
 
     val qJson = results.map { case (q, p50, p99) =>

@@ -152,29 +152,21 @@ object ScalingBench {
     println(s"--- stage profile (level $cores, measured build) ---")
     println(profiler.report())
 
-    def percentile(xs: Seq[Double], p: Double): Double = {
-      val s = xs.sorted
-      s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1))
-    }
     val p50 = scala.collection.mutable.Map[String, Double]()
     val p99 = scala.collection.mutable.Map[String, Double]()
     queries.foreach { case (q, m) =>
       val name = s"$q/${if (m == Search.Bm25) "bm25" else "tfidf"}"
-      // 1 warm-up + 10 timed iterations (benchmark.rs:73-76)
-      Search.searchTop(spark, dir, q, m, 10).collect()
-      val times = (0 until 10).map { _ =>
-        val t = System.nanoTime()
-        Search.searchTop(spark, dir, q, m, 10).collect()
-        (System.nanoTime() - t) / 1e6
-      }
+      val times = timedQueryMs(spark, dir, q, m)
       p50(name) = percentile(times, 0.50)
       p99(name) = percentile(times, 0.99)
     }
-    // corpus vs index size (space-reduction parity with benchmark.rs)
-    import org.apache.spark.sql.functions.{coalesce, col, length, lit, sum}
+    // corpus vs index size (space-reduction parity with benchmark.rs).
+    // octet_length: BYTES — length() counts characters and understates the
+    // non-ASCII synthetic corpus, skewing the reported space-reduction ×
+    import org.apache.spark.sql.functions.{coalesce, col, lit, octet_length, sum}
     val rawBytes = pages
-      .agg(sum(coalesce(length(col("text")), lit(0)) +
-        coalesce(length(col("html")), lit(0))))
+      .agg(sum(coalesce(octet_length(col("text")), lit(0)) +
+        coalesce(octet_length(col("html")), lit(0))))
       .collect()(0).getLong(0)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -208,6 +200,28 @@ object ScalingBench {
     Level(num("cores").toInt, num("buildWallMs").toLong, num("docsPerSec"),
       num("postings").toLong, num("rawMB"), num("indexMB"),
       qs.map(q => q._1 -> q._2).toMap, qs.map(q => q._1 -> q._3).toMap)
+  }
+
+  /** Nearest-rank percentile over raw samples — shared with BigDictBench
+    * so the two tools' published numbers can never diverge on the math.
+    */
+  private[tools] def percentile(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1))
+  }
+
+  /** Query-latency protocol both bench tools publish: 1 warm-up + 10 timed
+    * searchTop iterations (benchmark.rs:73-76), per-iteration millis.
+    */
+  private[tools] def timedQueryMs(
+      spark: SparkSession, dir: String, q: String, m: Search.Method)
+      : Seq[Double] = {
+    Search.searchTop(spark, dir, q, m, 10).collect() // warm-up
+    (0 until 10).map { _ =>
+      val t = System.nanoTime()
+      Search.searchTop(spark, dir, q, m, 10).collect()
+      (System.nanoTime() - t) / 1e6
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -460,4 +460,67 @@ class PdfSpec extends AnyFunSuite {
     assert(text.contains("object four page text"), s"got: $text")
     assert(text.contains("docs say use /ToUnicode 4 0 R here"))
   }
+
+  test("the bytes 'stream' inside a dict's literal string do not anchor " +
+      "a span: the real content stream after it still extracts") {
+    // spec: the stream keyword is followed by an EOL — 'stream' inside
+    // /Title (…) is not. Pre-fix, the bogus span swallowed the real
+    // stream's keyword and its content was lost or garbled.
+    val content = "BT 72 720 Td (real content survives) Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |1 0 obj << /Title (audio stream handling notes) >> endobj
+         |4 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream endobj
+         |trailer << /Root 1 0 R >>
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    assert(Pdf.extractText(b) == Some("real content survives\n"))
+  }
+
+  test("decompression bomb: a Flate stream inflating past the cap is a " +
+      "parse error (doc skipped), not an executor OOM") {
+    // 80 MB of 'A' deflates to ~80 KB; inflating it unbounded would hold
+    // the whole payload (and worse for deeper ratios) in one task —
+    // OutOfMemoryError is an Error, which the parse-error contract's
+    // `catch Exception` never sees
+    val bomb = pdf("A" * (80 << 20), flate = true)
+    assert(Pdf.extractText(bomb).isEmpty)
+    // a sane flate stream of the same shape still round-trips
+    assert(Pdf.extractText(pdf("BT (small flate ok) Tj ET", flate = true))
+      .contains("small flate ok\n"))
+  }
+
+  test("two generations of the same CMap object number: the LAST in file " +
+      "order wins (incremental updates append the newer object)") {
+    // old generation of obj 6 maps <01> → 'X'; the newer generation maps
+    // <01>…<04> → Hello. Hash-order selection picked arbitrarily.
+    val oldCmap =
+      "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<01> <0058>\nendbfchar\nendcmap\n"
+    val content = "BT /F7 12 Tf <0102030304> Tj ET"
+    val b =
+      (s"""%PDF-1.4
+         |6 0 obj << /Length ${oldCmap.length} >>
+         |stream
+         |$oldCmap
+         |endstream endobj
+         |3 0 obj << /Type /Page /Resources << /Font << /F7 5 0 R >> >> /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream endobj
+         |5 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${helloCmap.length} >>
+         |stream
+         |$helloCmap
+         |endstream endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val text = Pdf.extractText(b).get
+    assert(text.contains("Hello"), s"got: $text")
+    assert(!text.contains("X"), s"stale generation leaked: $text")
+  }
 }
