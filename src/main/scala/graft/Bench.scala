@@ -35,28 +35,42 @@ object Bench {
       try { SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
+    // a query that THROWS must never contribute a timing: recording its
+    // time-to-failure would make a broken engine read as a speedup in the
+    // round-over-round comparison. Failed queries are dropped from
+    // `queries` and listed under `errors` instead.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val timings: Map[String, Seq[Double]] = {
       val acc = scala.collection.mutable.Map
         .empty[String, List[Double]].withDefaultValue(Nil)
       (0 until samples).foreach { _ =>
         names.foreach { n =>
-          val t0 = System.nanoTime()
-          try { SparkEntry.queries(n)(spark, sfDir).count() }
-          catch { case _: Throwable => () }
-          acc(n) = acc(n) :+ (System.nanoTime() - t0) / 1e9
+          if (!failed(n)) {
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(n)(spark, sfDir).count()
+              acc(n) = acc(n) :+ (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              failed += n
+              System.err.println(s"[bench] $n failed: ${e.getMessage}")
+            }
+          }
         }
       }
       acc.toMap
     }
+    val ok = names.filter(n => !failed(n) && timings(n).nonEmpty)
     val results: Map[String, Double] =
-      names.map(n => n -> median(timings(n))).toMap
+      ok.map(n => n -> median(timings(n))).toMap
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val esc = SparkEntry.jsonEscape _
+    val qs = ok.map(k => esc(k) + ":" + results(k))
       .mkString("{", ",", "}")
+    val errs = failed.toSeq.map(esc).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""samples":$samples,"sf":"$sfDir"}"""
+        s""""samples":$samples,"errors":$errs,"sf":${esc(sfDir)}}"""
     println(line)
     // file fallback for parsers that can't strip build-tool log prefixes
     java.nio.file.Files.writeString(

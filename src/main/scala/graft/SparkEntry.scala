@@ -17,6 +17,21 @@ import graft.query.Search
   */
 object SparkEntry {
 
+  /** JSON string escape shared by Verify and Bench: backslash, quote, and
+    * ALL control chars (<0x20) — a tab/CR in builder-authored SQL or a
+    * quote in an env-provided path would otherwise make the driver's
+    * json.load fail and silently zero the round's record.
+    */
+  private[graft] def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Flagship: build the inverted index over sf0.001 documents (cached,
     * checkpointed) and answer a BM25 query via block-max WAND.
     */
@@ -26,7 +41,7 @@ object SparkEntry {
     Search.searchTop(spark, idx, "dup data", Search.Bm25, 10)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- generic relational operators (TPC-H-ish sanity) ----------------
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -152,7 +167,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(s, dir).orderBy("doc_id", "frame_idx")))
 
-  def oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -137,8 +137,12 @@ final class RefModel(params: Scoring.Params = Scoring.Params()) {
       (url, score)
     }.toVector
 
+    // ties break url-asc in UTF-8 BYTE order ([[Scoring.utf8Order]]), not
+    // default UTF-16 code-unit order: the engine's docId-asc tiebreak
+    // follows Spark's binary string sort, and the two orders disagree for
+    // urls mixing BMP U+E000..U+FFFF with supplementary-plane code points
     results.sortBy { case (url, score) => (-score, url) }(
-      Ordering.Tuple2(Ordering.Float.TotalOrdering, Ordering.String))
+      Ordering.Tuple2(Ordering.Float.TotalOrdering, Scoring.utf8Order))
   }
 
   /** Server semantics (`/root/reference/src/server.rs:85-90`): positive
@@ -148,23 +152,18 @@ final class RefModel(params: Scoring.Params = Scoring.Params()) {
       : Vector[(String, Float)] =
     searchQuery(query, method).filter(_._2 > 0.0f).take(k)
 
-  /** CLI semantics (`/root/reference/src/main.rs:290`): k results
-    * INCLUDING zero-scored docs when fewer than k score positive. The
-    * reference pads in HashMap iteration order — nondeterministic — so
-    * this oracle pads by url ASC, which equals the rebuild's docId-asc pad
-    * only on FRESH-BUILT indexes (docId = url rank there; incremental
-    * updates assign max+1 ids, breaking the equality — SparkSearchCli
-    * always fresh-builds, so the parity check is sound; don't reuse this
-    * oracle against an updated index). COVERAGE.md divergence #3.
+  /** CLI semantics (`/root/reference/src/main.rs:290`): top k of the FULL
+    * score-desc list — the reference scores EVERY doc, so non-matching
+    * docs appear at 0.0 and negative-idf matches keep their REAL scores,
+    * ranked BELOW the zeros (a head-term query where df > (N+1)/2 can
+    * make every match negative — a positives-then-zero-pad model forges
+    * both rank and score there). Equal-score ties order url ASC
+    * (deterministic) where the reference iterates HashMap order; on
+    * FRESH-BUILT indexes url asc = docId asc (SparkSearchCli always
+    * fresh-builds; don't reuse this oracle against an updated index).
+    * COVERAGE.md divergence #3.
     */
   def searchTopCli(query: String, method: RankMethod, k: Int)
-      : Vector[(String, Float)] = {
-    val pos = searchTop(query, method, k)
-    if (pos.length >= k) pos
-    else {
-      val have = pos.iterator.map(_._1).toSet
-      pos ++ docs.keysIterator.filterNot(have).toVector.sorted
-        .take(k - pos.length).map(u => (u, 0.0f))
-    }
-  }
+      : Vector[(String, Float)] =
+    searchQuery(query, method).take(k)
 }

@@ -258,16 +258,22 @@ object Search {
         .as[(Long, Float)]
         .collect()
     if (padToK && top.length < k) {
-      val have = top.map(_._1).toSet
-      val pad = h.docs
-        .filter(!$"docId".isin(have.toSeq: _*))
-        .orderBy($"docId".asc)
-        .limit(k - top.length)
-        .select($"docId")
-        .as[Long]
+      // reference CLI semantics (main.rs:290): top-k of the FULL scored
+      // list — every doc is scored, non-matching docs sit at 0.0, and
+      // negative-idf matches keep their REAL scores, ranked BELOW the
+      // zeros. A zeros-only pad would forge 0.0 for negative matches and
+      // misrank them above nothing-in-common docs. Distributed top-k over
+      // the docs table (left join against the ≤-corpus matched scores, a
+      // sort-limit Spark executes as takeOrdered) — no unbounded collect.
+      val scored = scoreNaive(spark, h, qp, method, params)
+      top = h.docs.select($"docId")
+        .join(scored, Seq("docId"), "left")
+        .select($"docId",
+          coalesce($"score", lit(0.0f)).cast("float").as("score"))
+        .orderBy($"score".desc, $"docId".asc)
+        .limit(k)
+        .as[(Long, Float)]
         .collect()
-        .map(id => (id, 0.0f))
-      top = top ++ pad
     }
     if (top.isEmpty)
       return spark.emptyDataset[(String, Float, Long)]

@@ -91,6 +91,45 @@ class IndexEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       engineTop(q, Search.Bm25, useWand = false, k = 1000))
   }
 
+  test("CLI semantics (padToK): top-k of the FULL scored list — " +
+      "negative-idf matches keep real scores BELOW the zeros, " +
+      "never forged to 0.0 (main.rs:290 ranks every doc)") {
+    // df("zebra") = 9 of 12 docs > (N+1)/2 → bm25 idf NEGATIVE: every
+    // match scores negative, and the reference's full ranking puts the 3
+    // non-matching docs (score 0.0) ABOVE all 9 matches
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val pages = (0 until 12).map { i =>
+      val body =
+        if (i < 9) s"zebra filler$i " + ("zebra " * (i % 3))
+        else s"unrelated filler$i content"
+      Schema.Page(f"/neg/doc$i%03d", ts, null, body, "en")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_negcli_").toString
+    IndexBuilder.build(spark,
+      spark.createDataset(pages).toDF(), dir,
+      IndexBuilder.BuildConf(partitions = 4, postingGroups = 2,
+        queryBuckets = 4))
+    val m = new RefModel()
+    pages.foreach(p => Extract.extractText(p.html, p.text).foreach(t =>
+      m.addDocument(p.url, t, p.warc_ts.getTime)))
+    for (method <- Seq(Search.Bm25, Search.Tfidf)) {
+      val refMethod =
+        if (method == Search.Bm25) RefModel.Bm25 else RefModel.Tfidf
+      val want = m.searchTopCli("zebra", refMethod, 12)
+      val got = Search.searchTop(spark, dir, "zebra", method, 12,
+        padToK = true)
+        .select($"url", $"score").as[(String, Float)].collect().toVector
+      assert(got == want, s"[$method] got=$got want=$want")
+      if (method == Search.Bm25) {
+        // the regime is real: zeros first, then genuine negatives
+        assert(want.take(3).forall(_._2 == 0.0f))
+        assert(want.drop(3).forall(_._2 < 0.0f),
+          s"expected negative tail: $want")
+      }
+    }
+  }
+
   test("distributed WAND ≡ driver-local WAND " +
       "(graft.maxLocalWandPostings=0 forces the shuffle path)") {
     val queries = Seq("texture array shader", "opengl", "42 . data",
