@@ -13,10 +13,13 @@ object Ann {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** dot(a, b) via zip_with + aggregate — sequential fold, deterministic. */
+  /** dot(a, b): native codegen'd expression ([[graft.functions.VecMath]])
+    * — same sequential-fold values and null semantics as the
+    * zip_with+aggregate composition it replaced (property-tested), minus
+    * the per-element lambda evaluation and intermediate product array.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecMath.vecDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

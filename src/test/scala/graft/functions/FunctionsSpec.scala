@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** [[VecMath.vecDot]] ≡ the zip_with+aggregate composition it replaced —
+  * values bit-identical (same sequential fold) and null semantics exact,
+  * in BOTH whole-stage-codegen and interpreted execution.
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  // deterministic corpus: dense vectors, zero vectors, empty arrays,
+  // length mismatches, null elements, null arrays
+  private def rows: Seq[(Int, Array[java.lang.Float], Array[java.lang.Float])] = {
+    val rng = new java.util.Random(42)
+    def vec(n: Int): Array[java.lang.Float] =
+      Array.fill(n)(java.lang.Float.valueOf(rng.nextFloat() * 2f - 1f))
+    val dense = (0 until 200).map(i => (i, vec(64), vec(64)))
+    val edges = Seq(
+      (1000, vec(8), vec(12)), // length mismatch → null
+      (1001, vec(0), vec(0)), // empty → 0.0
+      (1002, vec(5), null), // null side → null
+      (1003, null, null),
+      (1004, vec(3), vec(3).updated(1, null: java.lang.Float)), // null elem
+      (1005, Array.fill(4)(java.lang.Float.valueOf(0f)), vec(4)))
+    dense ++ edges
+  }
+
+  private def compare(): Unit = {
+    val df = rows.toDF("id", "a", "b")
+      .select($"id",
+        VecMath.vecDot($"a", $"b").as("native"),
+        hofDot($"a", $"b").as("hof"))
+    val bad = df.filter(
+      !($"native" <=> $"hof") ||
+        // bit-identity, not just ==: same sequential fold required
+        !(isnull($"native") ||
+          expr("cast(native as string) = cast(hof as string)")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.mkString("; ")}")
+    // sanity: the dense rows are non-null and the mismatch row IS null
+    val byId = df.collect().map(r => r.getInt(0) -> r).toMap
+    assert(!byId(0).isNullAt(1))
+    assert(byId(1000).isNullAt(1) && byId(1000).isNullAt(2))
+    assert(byId(1001).getDouble(1) == 0.0)
+    assert(byId(1004).isNullAt(1))
+  }
+
+  test("vecDot ≡ zip_with+aggregate under whole-stage codegen") {
+    compare()
+  }
+
+  test("vecDot ≡ zip_with+aggregate interpreted (codegen off)") {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      compare()
+    } finally spark.conf.set(key, old)
+  }
+
+  test("direct eval matches a hand-computed dot") {
+    val a = Array(1.0f, 2.0f, -3.5f)
+    val b = Array(4.0f, -0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VecMath.vecDot($"a", $"b")).as[Double].head()
+    val want = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+      s + x.toDouble * y.toDouble
+    }
+    assert(got == want)
+  }
+}
