@@ -133,6 +133,18 @@ object DeltaLog {
     * (and likewise a compact() restarted mid-fold) degrades read cost,
     * never correctness. Were adds untombstoned, both rows would read as
     * live and the doc would be double-materialized.
+    *
+    * One documented hairline corner: the DISTRIBUTED-liveness WAND path
+    * routes tombstones by `docId / meta.bucketSize`, so if a lost marker
+    * re-exposes deltas whose blocks were stamped with a DIFFERENT
+    * bucketSize (the fold heals bucketSize as the corpus grows) while the
+    * tombstone set ALSO exceeds `graft.maxDriverTombstones`, a replaced
+    * doc's re-exposed old-generation rows can land in a bucket its
+    * tombstone is not routed to. This needs three independent failures at
+    * once (marker loss + bucketSize change in that very fold + >10M
+    * tombstones); the driver-map path — every configuration below the
+    * cap — filters by docId globally and is immune. ChaosSpec exercises
+    * marker loss and fold restarts under the normal path.
     */
   def compactedThrough(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
