@@ -149,13 +149,25 @@ object DeltaLog {
   def compactedThrough(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
     val p = new Path(compactedMarker(dir))
-    if (!f.exists(p)) return 0
-    val in = f.open(p)
-    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-    in.readFully(bytes)
-    in.close()
-    scala.util.Try(new String(bytes,
-      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).getOrElse(0)
+    val marker =
+      if (!f.exists(p)) 0
+      else {
+        val in = f.open(p)
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        in.close()
+        scala.util.Try(new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt).getOrElse(0)
+      }
+    // redundant floor in meta.json ([[Incremental.compact]] records it
+    // after every fold): losing EITHER file alone re-exposes nothing —
+    // the derived add-tombstones keep even the both-lost case correct,
+    // but redundancy keeps its read cost and the documented
+    // distributed-path hairline corner behind TWO independent losses
+    val metaFloor = scala.util.Try(
+      IndexBuilder.readMeta(spark, dir)
+        .get("compactedThrough").map(_.toInt)).toOption.flatten.getOrElse(0)
+    math.max(marker, metaFloor)
   }
 
   /** Committed, uncompacted delta sequence numbers, ascending.

@@ -330,9 +330,19 @@ object Incremental {
     val tombTrigger = math.min(
       conf.tombstoneCompactFraction * math.max(1L, statsNew.docCount),
       conf.tombstoneAbsoluteCap.toDouble)
+    // the DERIVED liveness working set (kills + add-tombstones from the
+    // delta docs tables) is what the query handles collect/broadcast;
+    // past graft.maxDriverTombstones they degrade to the distributed
+    // path. A pure-add bulk ingest grows that set with ZERO kills, so a
+    // kill-only trigger would pin every query on the slow path for up to
+    // deltaCompactEvery more updates — fold as soon as the derived set
+    // crosses the same cap the handles gate on (footer counts, no job).
+    val visibleSeqs = DeltaLog.listSeqs(spark, indexDir)
+    val derivedRows = DeltaLog.tombRowCount(spark, indexDir, visibleSeqs)
     val shouldCompact =
-      DeltaLog.listSeqs(spark, indexDir).size >= conf.deltaCompactEvery ||
-        tombCount > tombTrigger
+      visibleSeqs.size >= conf.deltaCompactEvery ||
+        tombCount > tombTrigger ||
+        derivedRows > DeltaLog.maxDriverTombstones(spark)
     if (shouldCompact) compact(spark, indexDir, conf)
 
     UpdateReport(
@@ -414,8 +424,13 @@ object Incremental {
     }))
     writeTemp(spark, docsLive, IndexBuilder.docsPath(indexDir))
     DeltaLog.clear(spark, indexDir)
+    // the compacted floor is recorded REDUNDANTLY here: meta.json and the
+    // _compacted marker each alone carry it (compactedThrough takes the
+    // max), so losing one file never re-exposes folded deltas
+    val floor = DeltaLog.compactedThrough(spark, indexDir)
     IndexBuilder.updateMeta(spark, indexDir, Map(
-      "deltaSeq" -> DeltaLog.compactedThrough(spark, indexDir).toString,
+      "deltaSeq" -> floor.toString,
+      "compactedThrough" -> floor.toString,
       "bucketSize" -> bucketSize.toString))
     dropCompactingIntent(spark, indexDir)
     live.unpersist()
@@ -566,10 +581,11 @@ object Incremental {
     // fold itself was interrupted; update()/compact() restart it.)
     readCompactingIntent(spark, indexDir) match {
       case Some(b) if DeltaLog.listSeqs(spark, indexDir).isEmpty =>
+        val floor = DeltaLog.compactedThrough(spark, indexDir)
         IndexBuilder.updateMeta(spark, indexDir, Map(
           "bucketSize" -> b.toString,
-          "deltaSeq" ->
-            DeltaLog.compactedThrough(spark, indexDir).toString))
+          "deltaSeq" -> floor.toString,
+          "compactedThrough" -> floor.toString))
         dropCompactingIntent(spark, indexDir)
         graft.query.IndexHandles.invalidate(indexDir)
       case _ => ()

@@ -91,9 +91,16 @@ object Ann {
     import spark.implicits._
     // derive from the data, never hardcode: hyperplanes shorter than the
     // vectors would silently hash only the first components (the dot loop
-    // runs over min(lengths)) and recall would degrade with no error
+    // runs over min(lengths)) and recall would degrade with no error.
+    // Guarded: an empty table (or one whose sampled rows are null/empty
+    // vectors) yields an empty signatures frame, not a crash
     val dim = emb(spark, sfDir)
-      .select(size(col("embedding")).as("d")).limit(1).as[Int].head()
+      .select(size(col("embedding")).as("d"))
+      .filter(col("d") > 0).limit(1)
+      .as[Int].collect().headOption.getOrElse(0)
+    if (dim == 0)
+      return spark.emptyDataset[(Long, Int, Long)]
+        .toDF("vec_id", "tbl", "sig")
     val hp = (0 until tables).map(t =>
       hyperplanes(dim, planes, seed + t)).toArray
     val bHp = spark.sparkContext.broadcast(hp)

@@ -248,9 +248,14 @@ object Search {
     // would stream the ENTIRE docs table through the probe side per query
     var top: Array[(Long, Float)] =
       if (useWand)
-        // already (score desc, docId asc)-sorted and ≤ k
+        // already (score desc, docId asc)-sorted and ≤ k; under padToK
+        // this is the fast path that stands when it fills k
         Wand.topKArray(spark, h, qp, method, k, params)
           .filter(_._2 > 0.0f)
+      else if (padToK)
+        // the full-list branch below runs scoreNaive anyway — running the
+        // positives-only pass first would execute the identical plan twice
+        Array.empty[(Long, Float)]
       else scoreNaive(spark, h, qp, method, params)
         .filter($"score" > 0.0f)
         .orderBy($"score".desc, $"docId".asc)

@@ -86,15 +86,26 @@ object Pdf {
       while (i >= 0 && i < bytes.length) {
         val s = indexOf(bytes, "stream", i)
         if (s < 0) i = -1
-        else if ({
-          // the spec mandates an EOL straight after the keyword — without
-          // this check, the bytes "stream" inside a dict's literal string
+        else if (s >= 3 && bytes(s - 3) == 'e' && bytes(s - 2) == 'n' &&
+            bytes(s - 1) == 'd') {
+          // the "stream" SUFFIX of an "endstream" keyword — a rejected
+          // candidate's rescan must never re-anchor here (the byte after
+          // "endstream" is usually an EOL, which would pass the check
+          // below and mis-span into the next object)
+          i = s + "stream".length
+        } else if ({
+          // the spec mandates an EOL after the keyword — without this
+          // check, the bytes "stream" inside a dict's literal string
           // (e.g. /Title (audio stream handling)) mis-anchor a bogus span
           // that swallows the NEXT real stream's keyword, silently losing
-          // its content
-          val after = s + "stream".length
-          after >= bytes.length ||
-            (bytes(after) != '\n' && bytes(after) != '\r')
+          // its content. Horizontal whitespace before the EOL is
+          // tolerated ("stream \n" — sloppy writers); a multi-line
+          // literal containing "stream\n" remains a residual mis-anchor
+          // (full string-literal tracking would need a real tokenizer).
+          var j = s + "stream".length
+          while (j < bytes.length && (bytes(j) == ' ' || bytes(j) == '\t'))
+            j += 1
+          j >= bytes.length || (bytes(j) != '\n' && bytes(j) != '\r')
         }) {
           i = s + 1 // not the keyword — keep scanning
         } else {
@@ -111,7 +122,12 @@ object Pdf {
                 StandardCharsets.ISO_8859_1)
             else ""
           // stream data begins after the EOL following the keyword
+          // (tolerated horizontal whitespace skipped first, matching the
+          // acceptance check above)
           var dataStart = s + "stream".length
+          while (dataStart < bytes.length &&
+              (bytes(dataStart) == ' ' || bytes(dataStart) == '\t'))
+            dataStart += 1
           if (dataStart < bytes.length && bytes(dataStart) == '\r')
             dataStart += 1
           if (dataStart < bytes.length && bytes(dataStart) == '\n')

@@ -195,12 +195,14 @@ class ChaosSpec extends AnyFunSuite {
         Incremental.compact(spark, dir, conf)
         verify(dir, m, s"step $step compact")
       } else if (op < 93) {
-        // crash: the _compacted marker is lost — folded deltas re-expose
-        // over the folded base; the derived add-tombstones must keep the
-        // live view identical
+        // crash: BOTH compacted-floor copies lost (marker file + the
+        // redundant meta record) — folded deltas re-expose over the
+        // folded base; the derived add-tombstones must keep the live
+        // view identical
         val p = new Path(s"$dir/deltas/_compacted")
         if (hfs(dir).exists(p)) {
           hfs(dir).delete(p, false)
+          IndexBuilder.updateMeta(spark, dir, Map("compactedThrough" -> "0"))
           IndexHandles.invalidate(dir)
           verify(dir, m, s"step $step lost-marker")
         }
@@ -212,6 +214,7 @@ class ChaosSpec extends AnyFunSuite {
           val bucketSize =
             IndexBuilder.readMeta(spark, dir)("bucketSize").toLong
           hfs(dir).delete(p, false)
+          IndexBuilder.updateMeta(spark, dir, Map("compactedThrough" -> "0"))
           Incremental.writeCompactingIntent(spark, dir, bucketSize)
           IndexHandles.invalidate(dir)
           Incremental.compact(spark, dir, conf)
@@ -234,7 +237,10 @@ class ChaosSpec extends AnyFunSuite {
     val marker = new Path(s"$dir/deltas/_compacted")
     assert(hfs(dir).exists(marker))
     hfs(dir).delete(marker, false)
+    IndexBuilder.updateMeta(spark, dir, Map("compactedThrough" -> "0"))
     IndexHandles.invalidate(dir)
+    assert(DeltaLog.listSeqs(spark, dir).nonEmpty,
+      "epilogue must actually re-expose folded deltas")
     verify(dir, m, "epilogue lost-marker")
     val bucketSize = IndexBuilder.readMeta(spark, dir)("bucketSize").toLong
     Incremental.writeCompactingIntent(spark, dir, bucketSize)

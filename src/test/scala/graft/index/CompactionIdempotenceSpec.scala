@@ -72,9 +72,13 @@ class CompactionIdempotenceSpec extends AnyFunSuite {
     Incremental.compact(spark, dir, conf)
     val before = flatLiveSeq(dir)
 
-    // lose the marker: compactedThrough falls back to 0 and the folded
-    // delta dirs (still on disk through the deletion grace) become visible
+    // lose the floor ENTIRELY (marker file AND the redundant meta copy —
+    // either alone re-exposes nothing): compactedThrough falls back to 0
+    // and the folded delta dirs (still on disk through the deletion
+    // grace) become visible
     assert(hfs(dir).delete(new Path(s"$dir/deltas/_compacted"), false))
+    IndexBuilder.updateMeta(spark, dir, Map("compactedThrough" -> "0"))
+    graft.query.IndexHandles.invalidate(dir)
     assert(DeltaLog.listSeqs(spark, dir).nonEmpty,
       "scenario must actually re-expose the folded delta")
     assert(dupPostings(dir) == 0, "added docs' postings read twice")
@@ -92,9 +96,10 @@ class CompactionIdempotenceSpec extends AnyFunSuite {
     val before = flatLiveSeq(dir)
 
     // reconstruct "crashed between fold and clear": base already folded,
-    // marker absent, intent durable with the bucketSize the fold used
+    // BOTH floor copies absent, intent durable with the fold's bucketSize
     val bucketSize = IndexBuilder.readMeta(spark, dir)("bucketSize").toLong
     assert(hfs(dir).delete(new Path(s"$dir/deltas/_compacted"), false))
+    IndexBuilder.updateMeta(spark, dir, Map("compactedThrough" -> "0"))
     Incremental.writeCompactingIntent(spark, dir, bucketSize)
     graft.query.IndexHandles.invalidate(dir)
     Incremental.compact(spark, dir, conf) // the restart path
@@ -108,6 +113,42 @@ class CompactionIdempotenceSpec extends AnyFunSuite {
       .createTempDirectory("graft_refold_fresh_").toString
     IndexBuilder.build(spark, df(v1 ++ added), freshDir, conf)
     assert(flatLiveSeq(dir) == flatLiveSeq(freshDir))
+  }
+
+  test("losing ONLY the marker file re-exposes nothing: the redundant " +
+      "compactedThrough floor in meta.json stands") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_floor_").toString
+    IndexBuilder.build(spark, df(v1), dir, conf)
+    Incremental.update(spark, df(v1 ++ added), dir, conf)
+    Incremental.compact(spark, dir, conf)
+    val before = flatLiveSeq(dir)
+    assert(hfs(dir).delete(new Path(s"$dir/deltas/_compacted"), false))
+    assert(DeltaLog.listSeqs(spark, dir).isEmpty,
+      "meta floor alone must keep folded deltas invisible")
+    assert(flatLiveSeq(dir) == before)
+  }
+
+  test("pure-add bulk past graft.maxDriverTombstones triggers a fold: " +
+      "the DERIVED liveness working set must not pin queries on the " +
+      "distributed path with zero kills") {
+    val key = "graft.maxDriverTombstones"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "5")
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_addcap_").toString
+      IndexBuilder.build(spark, df(v1), dir, conf)
+      // ≥9 indexable adds, zero kills: kill trigger is silent, the
+      // derived (removed + docs) footer count crosses the cap
+      val rep = Incremental.update(spark, df(v1 ++ added), dir, conf)
+      assert(rep.added >= 8 && rep.reindexed == 0 && rep.removed == 0)
+      assert(rep.compacted, "derived-cap fold did not fire")
+      assert(DeltaLog.listSeqs(spark, dir).isEmpty)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("duplicate urls in an update() snapshot: last-write-wins dedup ≡ " +

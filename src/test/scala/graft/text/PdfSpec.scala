@@ -480,6 +480,19 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(b) == Some("real content survives\n"))
   }
 
+  test("sloppy writer: horizontal whitespace between the stream keyword " +
+      "and its EOL is tolerated (plain and Flate)") {
+    def sloppy(b: Array[Byte]): Array[Byte] =
+      new String(b, StandardCharsets.ISO_8859_1)
+        .replaceFirst("stream\n", "stream \t\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(Pdf.extractText(sloppy(pdf("BT (sloppy eol ok) Tj ET")))
+      == Some("sloppy eol ok\n"))
+    assert(Pdf.extractText(
+      sloppy(pdf("BT (sloppy flate ok) Tj ET", flate = true)))
+      == Some("sloppy flate ok\n"))
+  }
+
   test("decompression bomb: a Flate stream inflating past the cap is a " +
       "parse error (doc skipped), not an executor OOM") {
     // 80 MB of 'A' deflates to ~80 KB; inflating it unbounded would hold
