@@ -34,11 +34,8 @@ object FtSql {
     * zero-token document.
     */
   def doclen(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
-        col("doc_id"),
-        size(filter(split(lower(col("text")), " "), t => t =!= ""))
-          .cast("long").as("doclen"))
+    perDocTfCached(spark, sfDir)
+      .select(col("doc_id"), col("doclen"))
       .filter(col("doclen") > 0)
 
   val doclenSql: String =
@@ -108,6 +105,23 @@ object FtSql {
         +: tfCols: _*)
   }
 
+  /** [[perDocTf]] persisted once per input (fingerprint-keyed, bounded to
+    * one live set — the serving-cache pattern every heavy pipeline op
+    * uses): both scorers read it TWICE (per-doc math + the 1-row global
+    * aggregate are two consumers of the same subtree, which Spark would
+    * otherwise recompute — two full corpus tokenize passes per query),
+    * and doclen/stats are plain projections of it. At 10^12 docs the
+    * cached frame is 5 longs per doc — ~3 orders of magnitude smaller
+    * than re-tokenizing the text column it replaces, and it spills
+    * (MEMORY_AND_DISK) rather than OOMing.
+    */
+  private def perDocTfCached(spark: SparkSession, sfDir: String): DataFrame =
+    LiveResultCache.getOrCompute("ftsql_perdoc",
+      s"$sfDir|${LiveResultCache.fingerprint(spark,
+        s"$sfDir/documents.parquet")}") {
+      (perDocTf(spark, sfDir), Nil)
+    }
+
   /** 1-row global frame: n over ALL docs, avgdl over non-empty docs, df
     * per query term.
     */
@@ -121,7 +135,7 @@ object FtSql {
 
   /** TF-IDF top-20: Σ_t (tf/doclen)·log10(N/df_t); ties → doc_id asc. */
   def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val perDoc = perDocTf(spark, sfDir)
+    val perDoc = perDocTfCached(spark, sfDir)
     val contribs = queryTerms.indices.map { i =>
       when(col(s"tf_$i") > 0,
         col(s"tf_$i").cast("double") / col("doclen") *
@@ -157,7 +171,7 @@ object FtSql {
   /** BM25 top-20 (k1=2.0, b=0.75, textbook idf ln(1+(N-df+0.5)/(df+0.5))).
     */
   def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val perDoc = perDocTf(spark, sfDir)
+    val perDoc = perDocTfCached(spark, sfDir)
     val k1 = 2.0
     val b = 0.75
     val contribs = queryTerms.indices.map { i =>
