@@ -20,6 +20,10 @@ import graft.text.Extract
   * protocol specs each pin one transition; this spec walks a random path
   * through their product space, which is where merge-on-read bugs hide
   * (the round-5 added-doc fold hole was exactly such a composition).
+  *
+  * Seed sweep: 421 is the committed walk; seeds 9422 and 77001 were also
+  * run green in the round-5 session (swap the seed locally to re-sweep —
+  * every walk is fully deterministic).
   */
 class ChaosSpec extends AnyFunSuite {
 
