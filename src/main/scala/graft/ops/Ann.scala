@@ -23,26 +23,44 @@ object Ann {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Scores `rows` against a driver-held query vector embedded as an
+    * ARRAY<FLOAT> literal and takes the cosine top-k. The literal replaces
+    * the r5 `crossJoin(broadcast(1-row frame))`: same expressions, same
+    * sequential-fold dot values (norm(q) is still the in-plan FloatVecDot
+    * over the same floats), but the scan → score → TakeOrdered chain is
+    * one codegen stage with no BroadcastExchange / nested-loop join node.
+    */
+  private def topKAgainst(
+      rows: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val qv = typedlit(queryVec.toSeq)
+    rows
+      .withColumn("cos",
+        dot(col("embedding"), qv) / (norm(col("embedding")) * norm(qv)))
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"), col("cos").as("c0"))
+      .orderBy(col("c0").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
   /** Exact cosine top-k neighbors of `queryVecId` (brute force: one scan,
-    * one narrow top-k — the correct baseline and the fallback path).
+    * one narrow top-k — the correct baseline and the fallback path). The
+    * query vector is fetched once (pushed-down vec_id filter) and scored
+    * as a literal — see [[topKAgainst]].
     */
   def bruteTopK(
       spark: SparkSession,
       sfDir: String,
       queryVecId: Long = 0L,
       k: Int = 10): DataFrame = {
+    import spark.implicits._
     val e = emb(spark, sfDir)
-    val q = e.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"))
-    e.filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
-      .withColumn("cos",
-        dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))))
-      .select(col("vec_id"), round(col("cos"), 3).as("cos"), col("cos").as("c0"))
-      .orderBy(col("c0").desc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "cos")
+    e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Array[Float]]
+      .collect().headOption.filter(_ != null) match {
+      case None => Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+      case Some(qv) =>
+        topKAgainst(e.filter(col("vec_id") =!= queryVecId), qv, k)
+    }
   }
 
   def bruteTopKSql(queryVecId: Long = 0L, k: Int = 10): String =
@@ -144,26 +162,30 @@ object Ann {
         s"$sfDir/embeddings.parquet")}|$planes|$tables") {
       (tableSignatures(spark, sfDir, planes, tables), Nil)
     }
-    val qSig = sigs.filter(col("vec_id") === queryVecId)
-      .select(col("tbl").as("qtbl"), col("sig").as("qsig"))
-    val cands = sigs.join(broadcast(qSig),
-        col("tbl") === col("qtbl") && col("sig") === col("qsig"))
-      .filter(col("vec_id") =!= queryVecId)
-      .select("vec_id").distinct()
-
-    val e = emb(spark, sfDir)
-    val q = e.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"))
-    e.join(cands, "vec_id")
-      .crossJoin(broadcast(q))
-      .withColumn("cos",
-        dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))))
-      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
-        col("cos").as("c0"))
-      .orderBy(col("c0").desc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "cos")
+    // the query's (tbl, sig) probes are `tables` rows of the memoized
+    // signature frame — collect them (driver-bounded) and push them back
+    // as literal predicates instead of the r5 broadcast join + DISTINCT
+    // exchange; the duplicate-candidate dedup (a vector matching in
+    // several tables) moves into the semi-join's build side for free
+    import spark.implicits._
+    val probes: Array[(Int, Long)] = sigs
+      .filter(col("vec_id") === queryVecId)
+      .select(col("tbl"), col("sig")).as[(Int, Long)].collect()
+    val qvOpt = emb(spark, sfDir)
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Array[Float]]
+      .collect().headOption.filter(_ != null)
+    (probes.headOption, qvOpt) match {
+      case (Some(_), Some(qv)) =>
+        val cands = sigs
+          .filter(probes.map { case (t, s) =>
+            col("tbl") === t && col("sig") === s }.reduce(_ || _))
+          .filter(col("vec_id") =!= queryVecId)
+          .select("vec_id")
+        topKAgainst(
+          emb(spark, sfDir).join(cands, Seq("vec_id"), "left_semi"), qv, k)
+      case _ => Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
   }
 
   // ---- IVF-flat -----------------------------------------------------------
@@ -433,19 +455,11 @@ object Ann {
       .sortBy { case (c, s) => (-s, c) }
       .take(math.max(1, nprobe))
       .map(_._1)
-    val q = spark.createDataset(Seq(queryVec)).toDF("qv")
-    spark.read.parquet(s"$ivfDir/cells")
-      .filter(col("cell").isin(probes: _*))
-      .filter(col("vec_id") =!= excludeVecId)
-      .crossJoin(broadcast(q))
-      .withColumn("cos",
-        dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))))
-      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
-        col("cos").as("c0"))
-      .orderBy(col("c0").desc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "cos")
+    topKAgainst(
+      spark.read.parquet(s"$ivfDir/cells")
+        .filter(col("cell").isin(probes: _*))
+        .filter(col("vec_id") =!= excludeVecId),
+      queryVec, k)
   }
 
   /** IVF-flat ANN top-k over the source table: ensures the persisted
@@ -823,7 +837,6 @@ object Ann {
     // into the source scan as an In() filter (parquet row-group pruning)
     // instead of shuffling a join; rerank ≤ 0 (exactness gate) keeps the
     // join, whose build side is the probed candidate ids.
-    val q = spark.createDataset(Seq(queryVec)).toDF("qv")
     val rerankSrc =
       if (rerank > 0) {
         val ids = adc.orderBy(col("adc").desc, col("vec_id").asc)
@@ -832,16 +845,7 @@ object Ann {
         emb(spark, sfDir).filter(col("vec_id").isin(ids: _*))
       } else
         emb(spark, sfDir).join(adc.select("vec_id"), Seq("vec_id"))
-    rerankSrc
-      .crossJoin(broadcast(q))
-      .withColumn("cos",
-        dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv"))))
-      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
-        col("cos").as("c0"))
-      .orderBy(col("c0").desc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "cos")
+    topKAgainst(rerankSrc, queryVec, k)
   }
 
   /** IVF-PQ ANN top-k over the source table (ensure index → look up the

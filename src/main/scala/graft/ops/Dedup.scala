@@ -317,13 +317,17 @@ object Dedup {
 
   /** Token-set Jaccard over a bounded doc subset (SQL-parity variant).
     *
-    * Plan shape: the per-doc DISTINCT token set is built NARROWLY
-    * (`array_distinct` over the split array — per-doc dedup needs no
-    * shuffle, vs the old corpus-wide `explode().distinct()` exchange), and
-    * set sizes are a narrow `size(arr)` instead of a groupBy. The only
-    * wide stage left is the intersection count (tok-join + pair groupBy);
-    * both its dimension joins broadcast the ≤maxDocId-row sizes frame, and
-    * the join's build side is the bounded token list itself — at corpus
+    * Plan shape (r6): ONE wide operator total. The per-doc DISTINCT token
+    * set is built narrowly (`array_distinct` over the split array), then
+    * the ≤maxDocId pair space is enumerated directly with a broadcast
+    * `id_a < id_b` join and each pair's intersection is a codegen'd
+    * `size(array_intersect(...))` — no explode, no per-token join rows,
+    * no pair groupBy, no dimension joins (sizes are `size(toks)` on the
+    * row itself). The r5 shape shuffled/grouped one row per SHARED TOKEN
+    * per pair plus three broadcast stages; this computes the identical
+    * pair rows (`inter >= 1` keeps the join-on-token pair universe:
+    * disjoint pairs never existed there) in a single pass over the pair
+    * space. Bounded by construction (maxDocId² / 2 pairs); at corpus
     * scale the UNBOUNDED path is minhashPairs, not this parity variant.
     */
   def ngramJaccard(
@@ -331,29 +335,26 @@ object Dedup {
       sfDir: String,
       maxDocId: Long = 100,
       threshold: Double = 0.3): DataFrame = {
-    val sets = docs(spark, sfDir)
-      .filter(col("doc_id") < maxDocId)
+    val sets = InputLayout.spread(spark,
+      docs(spark, sfDir)
+        .filter(col("doc_id") < maxDocId)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(
         col("doc_id"),
         array_distinct(
           filter(split(lower(col("text")), " "), t => t =!= "")).as("toks"))
-    val toks = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val sizes = sets.select(
-      col("doc_id"), size(col("toks")).cast("long").as("sz"))
-    val a = toks.as("a")
-    val b = toks.as("b")
-    val inter = a.join(broadcast(b),
-      col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b")), "id_b")
+    val a = sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      // pairs sharing no token never appear in the token-join formulation
+      // (and this also keeps 0/0 NaN out of the threshold filter)
+      .filter(col("inter") >= 1)
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")))
+          (size(col("toks_a")).cast("long") +
+            size(col("toks_b")).cast("long") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3)
         .as("jaccard"))

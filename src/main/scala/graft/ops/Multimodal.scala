@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caching: every read()/write()
+  // round-trips a temp file it creates and deletes — pure overhead for
+  // the in-memory byte-array payloads this pipeline decodes (measured
+  // ~2× on the decode stage). Heap-backed stream cache instead; decoded
+  // pixels are unaffected. Runs once per JVM on first touch of this
+  // object (executors included — the decode closures reference it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class ImageMeta(
       doc_id: Long,
       width: Int,
@@ -146,8 +154,12 @@ object Multimodal {
     */
   def imageMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    // decode is the heaviest per-row op in the repo — spread an
+    // under-split scan so it runs on every core, not one (no-op on
+    // well-split input; guide §2.5)
+    InputLayout.spread(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         // real codecs want reuse of decoder state per batch — this is the

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  // Measured (r6): these maps are LIGHT per-row (split/regex over ~1 KB
+  // texts) — spreading an under-split scan (InputLayout.spread) costs
+  // more in exchange than the parallelism returns (langid 0.13→0.27 s),
+  // so the ops stay narrow; only genuinely heavy per-row ops (image
+  // decode) spread.
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
