@@ -593,7 +593,12 @@ object Ann {
         val c = argminL2(x, cents)
         val s = sums(c)
         var i = 0
-        while (i < d) { s(i) += x(i); i += 1 }
+        // clamp per vector: heterogeneous embedding lengths degrade
+        // (short vectors contribute their prefix) instead of crashing —
+        // matches argminL2 / FloatVecDot / tableSignatures' defensive
+        // min-length style
+        val lim = math.min(d, x.length)
+        while (i < lim) { s(i) += x(i); i += 1 }
         cnts(c) += 1
       }
       cents = Array.tabulate(kk)(c =>
@@ -652,7 +657,15 @@ object Ann {
     if (sample.isEmpty) return Array.empty
     val dim = sample(0).length
     subBounds(dim, m).map { case (lo, hi) =>
-      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi))
+      // zero-pad sub-vectors whose source is shorter than the subspace
+      // (mixed-length corpus): from is clamped into [0, v.length] and the
+      // slice keeps its full dsub width (copyOfRange zero-fills past the
+      // end), so a short vector degrades instead of AIOOBE-aborting the
+      // codebook build
+      val subs = sample.map { v =>
+        val from = math.min(lo, v.length)
+        java.util.Arrays.copyOfRange(v, from, from + (hi - lo))
+      }
       kmeansL2(subs, ksub, iters)
     }
   }
@@ -668,7 +681,11 @@ object Ann {
     var s = 0
     while (s < bounds.length) {
       val (lo, hi) = bounds(s)
-      val sub = java.util.Arrays.copyOfRange(v, lo, math.min(hi, v.length))
+      // same clamp+pad as trainPqCodebooks: for vectors of the training
+      // dim this is exactly copyOfRange(v, lo, hi); shorter vectors
+      // degrade to a zero-padded slice instead of crashing the encode
+      val from = math.min(lo, v.length)
+      val sub = java.util.Arrays.copyOfRange(v, from, from + (hi - lo))
       code(s) = argminL2(sub, books(s)).toByte
       s += 1
     }

@@ -366,4 +366,23 @@ class OpsSpec extends AnyFunSuite {
     // a (path, params)-only key would have served the stale (0,1) result
     assert(second == Set((0L, 2L)))
   }
+
+  test("ivf-pq build survives heterogeneous embedding lengths " +
+      "(clamped/zero-padded, not AIOOBE-aborted)") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_ops_mixed_").toString
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.1f), 0),
+      (1L, Array.fill(16)(0.2f), 0), // shorter than the training dim
+      (2L, Array.fill(64)(0.3f), 1),
+      (3L, Array.fill(80)(0.4f), 1)) // longer than the training dim
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/embeddings.parquet")
+    // kmeansL2 / trainPqCodebooks / encodePq all see the mixed lengths;
+    // before the clamp this threw ArrayIndexOutOfBounds during training
+    val r = Ann.ivfPqTopK(spark, d, queryVecId = 0L, k = 3,
+      nlist = 2, nprobe = 2, m = 4, ksub = 4, rerank = 0, iters = 2)
+    assert(r.collect().nonEmpty)
+  }
 }
