@@ -52,16 +52,25 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")),
     "q2_join_topk" -> ((s, dir) => {
       // Aggregate BEFORE joining: o_orderkey is unique, so inner-join-
-      // then-group ≡ group-then-semi-join — but the pre-agg shuffles one
-      // row per ORDER (partial-agg map-side) instead of the whole fact
-      // table, and the semi-join side carries a single column. The DuckDB
-      // oracle keeps the join-first formulation.
+      // then-group ≡ group-then-join — the pre-agg shuffles one row per
+      // ORDER (partial-agg map-side) instead of the whole fact table,
+      // and the join side carries a single column. The DuckDB oracle
+      // keeps the join-first formulation. r6: the join is INNER (on the
+      // unique key it emits exactly the semi-join's rows — the r5
+      // equivalence argument unchanged) because Catalyst's
+      // PushDownLeftSemiAntiJoin pushed the SEMI variant below the
+      // aggregate, re-probing the whole fact table BEFORE the exchange —
+      // on under-split input that serialized 600 k broadcast-hash probes
+      // into the single scan task; inner joins have no such pushdown, so
+      // the probe now runs on the aggregated rows above the exchange, in
+      // parallel. Plan evidence: plans/r06/q2_join_topk_{before,after}.txt.
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
       li.groupBy("l_orderkey")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
         .join(o.select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "sum_qty", "n_lines")
         .orderBy(col("sum_qty").desc, col("l_orderkey").asc)
         .limit(10)
     }),

@@ -162,30 +162,32 @@ object Ann {
         s"$sfDir/embeddings.parquet")}|$planes|$tables") {
       (tableSignatures(spark, sfDir, planes, tables), Nil)
     }
-    // the query's (tbl, sig) probes are `tables` rows of the memoized
-    // signature frame — collect them (driver-bounded) and push them back
-    // as literal predicates instead of the r5 broadcast join + DISTINCT
-    // exchange; the duplicate-candidate dedup (a vector matching in
-    // several tables) moves into the semi-join's build side for free
-    import spark.implicits._
-    val probes: Array[(Int, Long)] = sigs
-      .filter(col("vec_id") === queryVecId)
-      .select(col("tbl"), col("sig")).as[(Int, Long)].collect()
-    val qvOpt = emb(spark, sfDir)
-      .filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).as[Array[Float]]
-      .collect().headOption.filter(_ != null)
-    (probes.headOption, qvOpt) match {
-      case (Some(_), Some(qv)) =>
-        val cands = sigs
-          .filter(probes.map { case (t, s) =>
-            col("tbl") === t && col("sig") === s }.reduce(_ || _))
-          .filter(col("vec_id") =!= queryVecId)
-          .select("vec_id")
-        topKAgainst(
-          emb(spark, sfDir).join(cands, Seq("vec_id"), "left_semi"), qv, k)
-      case _ => Seq.empty[(Long, Double)].toDF("vec_id", "cos")
-    }
+    // candidates: bucket-mates of the query in ANY table, via the r5
+    // broadcast join against the query's own (tbl, sig) rows — but
+    // attached with a LEFT SEMI join, whose build side dedups the
+    // multi-table matches for free: the r5 DISTINCT exchange is gone.
+    // Scoring keeps the broadcast 1-row query frame (a literal query
+    // vector would need a BLOCKING driver collect first — A/B'd at
+    // +0.08 s; the broadcast build overlaps the main job instead).
+    val qSig = sigs.filter(col("vec_id") === queryVecId)
+      .select(col("tbl").as("qtbl"), col("sig").as("qsig"))
+    val cands = sigs.join(broadcast(qSig),
+        col("tbl") === col("qtbl") && col("sig") === col("qsig"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select("vec_id")
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    e.join(cands, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))))
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"),
+        col("cos").as("c0"))
+      .orderBy(col("c0").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
   }
 
   // ---- IVF-flat -----------------------------------------------------------
@@ -820,48 +822,60 @@ object Ann {
       .sortBy { case (c, s) => (-s, c) }
       .take(math.max(1, nprobe))
       .map(_._1)
-    // ADC lookup table: m × ksub partial dot products of the query
-    val bounds = subBounds(qUnit.length, books.length)
-    val tab: Array[Array[Double]] = bounds.zipWithIndex.map {
-      case ((lo, hi), s) =>
-        books(s).map { ct =>
-          var acc = 0.0
-          var i = lo
-          while (i < hi && i < qUnit.length) {
-            acc += qUnit(i) * ct(i - lo); i += 1
-          }
-          acc
-        }
-    }
-    val bTab = spark.sparkContext.broadcast(tab)
-    val adc = spark.read.parquet(s"$pqDir/cells")
+    val cellScan = spark.read.parquet(s"$pqDir/cells")
       .filter(col("cell").isin(probes: _*))
       .filter(col("vec_id") =!= excludeVecId)
-      .select(col("vec_id"), col("code"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, code) =>
-        val t = bTab.value
-        var s = 0.0
-        var j = 0
-        val n = math.min(code.length, t.length)
-        while (j < n) { s += t(j)((code(j) & 0xff) % t(j).length); j += 1 }
-        (id, s)
-      }
-      .toDF("vec_id", "adc")
     // exact rerank: true vectors fetched by id from the source table.
     // rerank > 0 ⇒ the candidate set is DRIVER-BOUNDED (≤ rerank ids, a
     // top-k collect like every ANN entry point's own result) — push it
     // into the source scan as an In() filter (parquet row-group pruning)
-    // instead of shuffling a join; rerank ≤ 0 (exactness gate) keeps the
-    // join, whose build side is the probed candidate ids.
+    // instead of shuffling a join; rerank ≤ 0 (exactness gate) re-ranks
+    // EVERY probed candidate, so the ADC scores would be dead work — the
+    // candidate ids join straight from the (column-pruned: vec_id only,
+    // codes never read) cells scan, build side = the probed ids.
     val rerankSrc =
       if (rerank > 0) {
+        // ADC lookup table: m × ksub partial dot products of the query
+        val bounds = subBounds(qUnit.length, books.length)
+        val tab: Array[Array[Double]] = bounds.zipWithIndex.map {
+          case ((lo, hi), s) =>
+            books(s).map { ct =>
+              var acc = 0.0
+              var i = lo
+              while (i < hi && i < qUnit.length) {
+                acc += qUnit(i) * ct(i - lo); i += 1
+              }
+              acc
+            }
+        }
+        val bTab = spark.sparkContext.broadcast(tab)
+        val adc = cellScan
+          .select(col("vec_id"), col("code"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, code) =>
+            // explicit bounds check: a corrupt code byte DROPS the row
+            // (like every parse guard in the repo) instead of %-wrapping
+            // into a valid-but-wrong codebook slot; self-written codes
+            // are always < ksub, so valid rows score identically
+            val t = bTab.value
+            var s = 0.0
+            var j = 0
+            var ok = true
+            val n = math.min(code.length, t.length)
+            while (ok && j < n) {
+              val ci = code(j) & 0xff
+              if (ci < t(j).length) { s += t(j)(ci); j += 1 }
+              else ok = false
+            }
+            if (ok) Some((id, s)) else None
+          }
+          .toDF("vec_id", "adc")
         val ids = adc.orderBy(col("adc").desc, col("vec_id").asc)
           .limit(rerank)
           .select("vec_id").as[Long].collect()
         emb(spark, sfDir).filter(col("vec_id").isin(ids: _*))
       } else
-        emb(spark, sfDir).join(adc.select("vec_id"), Seq("vec_id"))
+        emb(spark, sfDir).join(cellScan.select("vec_id"), Seq("vec_id"))
     topKAgainst(rerankSrc, queryVec, k)
   }
 

@@ -335,10 +335,8 @@ object Dedup {
       sfDir: String,
       maxDocId: Long = 100,
       threshold: Double = 0.3): DataFrame = {
-    val sets = InputLayout.spread(spark,
-      docs(spark, sfDir)
-        .filter(col("doc_id") < maxDocId)
-        .select(col("doc_id"), col("text")), col("doc_id"))
+    val sets = docs(spark, sfDir)
+      .filter(col("doc_id") < maxDocId)
       .select(
         col("doc_id"),
         array_distinct(
