@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   *                          frame is executed via its own QueryExecution
   *                          before dumping, so AdaptiveSparkPlan is final)
   *   SPARK_GRAFT_PLAN_TAG   suffix for plan files (default "plan")
+  *   SPARK_GRAFT_SINK       "noop" times `write.format("noop")` instead
+  *                          of `.count()` — guide §1.4 isolation: every
+  *                          column of every row is computed and
+  *                          discarded, so sort/column costs that count()
+  *                          legally prunes are included
   *
   * Methodology mirrors Bench.scala (same session confs, warm-up pass, then
   * timed `.count()` passes) so numbers are comparable to the driver's, but
@@ -66,13 +71,16 @@ object BenchExtra {
       }
     }
 
+    val noop = sys.env.get("SPARK_GRAFT_SINK").contains("noop")
     val out = new StringBuilder
     names.foreach { n =>
       spark.sparkContext.setJobDescription(s"benchextra: $n")
       val ts = (0 until samples).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          graft.SparkEntry.queries(n)(spark, sfDir).count()
+          val df = graft.SparkEntry.queries(n)(spark, sfDir)
+          if (noop) df.write.format("noop").mode("overwrite").save()
+          else df.count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[benchextra] $n failed: ${e.getMessage}")

@@ -101,11 +101,16 @@ object ExplainAudit {
     }
     // q2: aggregate-before-join shape — the pre-agg must show a
     // partial_sum BEFORE its exchange (map-side combine: one row per
-    // order key per map partition reaches the shuffle), and at driver
-    // scales AQE should convert the single-column semi-join to broadcast
-    // at runtime (at real TPC-H scale orders is a fact table — the
-    // SHUFFLED semi-join is the scale-correct static plan, which is why
-    // the code does not hint broadcast).
+    // order key per map partition reaches the shuffle). r6: the
+    // order-existence check is an INNER join on the unique o_orderkey
+    // (≡ the r5 semi join row-for-row) precisely so that
+    // PushDownLeftSemiAntiJoin can NOT push it below the aggregate —
+    // the probe stays above the exchange, running on aggregated rows in
+    // parallel instead of on every raw fact row inside the scan task.
+    // At driver scales AQE converts it to broadcast at runtime (at real
+    // TPC-H scale orders is a fact table — the SHUFFLED join is the
+    // scale-correct static plan, which is why the code does not hint
+    // broadcast).
     locally {
       val q2 = graft.SparkEntry.queries("q2_join_topk")(spark, sfDir)
       // collect() (it's a LIMIT 10) executes THIS Dataset's own
