@@ -835,41 +835,37 @@ object Ann {
     // codes never read) cells scan, build side = the probed ids.
     val rerankSrc =
       if (rerank > 0) {
-        // ADC lookup table: m × ksub partial dot products of the query
+        // ADC lookup table: m × ksub partial dot products of the query,
+        // FLATTENED and shipped inside the codegen'd [[AdcScore]]
+        // expression — the ADC scan (the hot loop of a PQ query at
+        // scale) stays in whole-stage codegen with no per-row closure or
+        // Dataset (de)serialization. The per-sub centroid count is
+        // uniform by construction (every subspace trains with the same
+        // kk = min(ksub, sampleSize)), so one stride addresses the table.
+        // Corrupt code bytes (≥ stride) yield NULL and are dropped —
+        // the same bounds-check-and-skip policy as before, never a
+        // %-wrap into a valid-but-wrong slot.
         val bounds = subBounds(qUnit.length, books.length)
-        val tab: Array[Array[Double]] = bounds.zipWithIndex.map {
-          case ((lo, hi), s) =>
-            books(s).map { ct =>
-              var acc = 0.0
-              var i = lo
-              while (i < hi && i < qUnit.length) {
-                acc += qUnit(i) * ct(i - lo); i += 1
-              }
-              acc
+        val stride = books(0).length
+        val flat = new Array[Double](books.length * stride)
+        bounds.zipWithIndex.foreach { case ((lo, hi), s) =>
+          var j = 0
+          while (j < books(s).length && j < stride) {
+            val ct = books(s)(j)
+            var acc = 0.0
+            var i = lo
+            while (i < hi && i < qUnit.length) {
+              acc += qUnit(i) * ct(i - lo); i += 1
             }
-        }
-        val bTab = spark.sparkContext.broadcast(tab)
-        val adc = cellScan
-          .select(col("vec_id"), col("code"))
-          .as[(Long, Array[Byte])]
-          .flatMap { case (id, code) =>
-            // explicit bounds check: a corrupt code byte DROPS the row
-            // (like every parse guard in the repo) instead of %-wrapping
-            // into a valid-but-wrong codebook slot; self-written codes
-            // are always < ksub, so valid rows score identically
-            val t = bTab.value
-            var s = 0.0
-            var j = 0
-            var ok = true
-            val n = math.min(code.length, t.length)
-            while (ok && j < n) {
-              val ci = code(j) & 0xff
-              if (ci < t(j).length) { s += t(j)(ci); j += 1 }
-              else ok = false
-            }
-            if (ok) Some((id, s)) else None
+            flat(s * stride + j) = acc
+            j += 1
           }
-          .toDF("vec_id", "adc")
+        }
+        val adc = cellScan
+          .select(col("vec_id"),
+            graft.functions.AdcScore.adcScore(col("code"), flat, stride)
+              .as("adc"))
+          .filter(col("adc").isNotNull)
         val ids = adc.orderBy(col("adc").desc, col("vec_id").asc)
           .limit(rerank)
           .select("vec_id").as[Long].collect()

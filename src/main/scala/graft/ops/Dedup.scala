@@ -195,41 +195,37 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: sign of tf-weighted bit sums of token hashes.
-    * Computed per doc inside one hash aggregate (no wide shuffle).
+    *
+    * r6 shape: the 64 per-bit signed tf sums are 64 DECLARATIVE `sum`
+    * aggregates in one hash aggregate — partial-aggregated map-side, so
+    * ONE 64-long row per doc per partition reaches the shuffle — and the
+    * signature is a narrow 64-term bit recombine above it. Replaces a
+    * `groupByKey.mapGroups` that shipped every (doc, token, tf, hash)
+    * row through the exchange into a per-group closure outside codegen
+    * (guide §2.3 "aggregate before you shuffle" / round rule 4: no
+    * Scala closures on the hot path). Same arithmetic — Long sums,
+    * bit j set iff its sum > 0 — so signatures are identical.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashOf(spark, docs(spark, sfDir))
 
   def simhashOf(spark: SparkSession, d: DataFrame): DataFrame = {
-    import spark.implicits._
     val toks = d.select(
       col("doc_id"),
       explode(filter(split(lower(col("text")), " "), t => t =!= ""))
         .as("tok"))
-    toks
+    val tf = toks
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("tok")))
-      .as[(Long, String, Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (docId, it) =>
-        val acc = new Array[Long](64)
-        it.foreach { case (_, _, tf, h) =>
-          var bit = 0
-          while (bit < 64) {
-            if (((h >>> bit) & 1L) == 1L) acc(bit) += tf
-            else acc(bit) -= tf
-            bit += 1
-          }
-        }
-        var sig = 0L
-        var bit = 0
-        while (bit < 64) {
-          if (acc(bit) > 0) sig |= (1L << bit)
-          bit += 1
-        }
-        (docId, sig)
-      }
-      .toDF("doc_id", "simhash")
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L,
+        col("tf")).otherwise(-col("tf"))).as(s"b$j"))
+    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via

@@ -79,4 +79,70 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  // ---- AdcScore: ≡ the Dataset.map closure it replaced -------------------
+
+  private val adcKsub = 16
+  private val adcM = 8
+  private val adcTable: Array[Double] = {
+    val rng = new java.util.Random(7)
+    Array.fill(adcM * adcKsub)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** The former closure's fold, verbatim: j-ascending sequential sum,
+    * reads min(code.length, m) bytes, None on a byte ≥ ksub.
+    */
+  private def adcRef(code: Array[Byte]): Option[Double] = {
+    var s = 0.0
+    var j = 0
+    val n = math.min(code.length, adcM)
+    while (j < n) {
+      val ci = code(j) & 0xff
+      if (ci >= adcKsub) return None
+      s += adcTable(j * adcKsub + ci)
+      j += 1
+    }
+    Some(s)
+  }
+
+  private def adcRows: Seq[(Int, Array[Byte])] = {
+    val rng = new java.util.Random(11)
+    val dense = (0 until 100).map(i =>
+      (i, Array.fill(adcM)(rng.nextInt(adcKsub).toByte)))
+    dense ++ Seq(
+      (1000, Array.fill(adcM)(200.toByte)), // corrupt byte → null
+      (1001, Array[Byte](1, 2, 3)), // short code: prefix scored
+      (1002, Array.fill(adcM + 4)(2.toByte)), // long code: m-prefix only
+      (1003, Array.empty[Byte]), // empty → 0.0
+      (1004, null)) // null → null
+  }
+
+  private def adcCompare(): Unit = {
+    val rows = adcRows
+    val got = rows.toDF("id", "code")
+      .select($"id", AdcScore.adcScore($"code", adcTable, adcKsub).as("adc"))
+      .collect().map(r =>
+        r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    rows.foreach { case (id, code) =>
+      val want = Option(code).flatMap(adcRef)
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+    assert(got(1000).isEmpty)
+    assert(got(1003).contains(0.0))
+    assert(got(1004).isEmpty)
+  }
+
+  test("adcScore ≡ the replaced closure under whole-stage codegen") {
+    adcCompare()
+  }
+
+  test("adcScore ≡ the replaced closure interpreted (codegen off)") {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      adcCompare()
+    } finally spark.conf.set(key, old)
+  }
 }

@@ -367,6 +367,42 @@ class OpsSpec extends AnyFunSuite {
     assert(second == Set((0L, 2L)))
   }
 
+  test("simhash declarative 64-bit-sum aggregate ≡ the per-group closure " +
+      "it replaced") {
+    import org.apache.spark.sql.functions.{col, count, explode, filter,
+      lit, lower, split, xxhash64}
+    val got = Dedup.simhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the former groupByKey.mapGroups fold, driven from the
+    // same (doc_id, tf, h) frame so the token hashes are identical
+    val tfRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+      .select("doc_id", "tf", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = tfRows.groupBy(_._1).map { case (docId, rows) =>
+      val acc = new Array[Long](64)
+      rows.foreach { case (_, tf, h) =>
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) acc(bit) += tf else acc(bit) -= tf
+          bit += 1
+        }
+      }
+      var sig = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (acc(bit) > 0) sig |= (1L << bit)
+        bit += 1
+      }
+      docId -> sig
+    }
+    assert(got == want)
+  }
+
   test("ivf-pq build survives heterogeneous embedding lengths " +
       "(clamped/zero-padded, not AIOOBE-aborted)") {
     val d = java.nio.file.Files
