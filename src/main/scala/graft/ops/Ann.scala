@@ -121,27 +121,21 @@ object Ann {
         .toDF("vec_id", "tbl", "sig")
     val hp = (0 until tables).map(t =>
       hyperplanes(dim, planes, seed + t)).toArray
-    val bHp = spark.sparkContext.broadcast(hp)
+    // r6: per-table signatures as codegen'd [[graft.functions.HyperplaneSig]]
+    // columns (each table's plane matrix flattened row-major into its
+    // expression), posexploded to the (vec_id, tbl, sig) row shape. This
+    // replaces the per-row flatMap closure + hyperplane broadcast — the
+    // tables × planes dot products per vector (LSH's bucketing hot loop
+    // at scale) now run inside whole-stage codegen with no Dataset
+    // (de)serialization. Signatures are bit-identical (same p-ascending,
+    // i-ascending double fold over the float vector — spec'd against the
+    // replaced closure), so every downstream bucket/candidate/pair is
+    // unchanged.
+    val sigCols = hp.map(mat =>
+      graft.functions.HyperplaneSig.hyperplaneSig(
+        col("embedding"), mat.flatten, dim))
     emb(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        val hps = bHp.value
-        hps.indices.iterator.map { t =>
-          var sig = 0L
-          var p = 0
-          while (p < hps(t).length) {
-            var s = 0.0
-            var i = 0
-            val h = hps(t)(p)
-            val n = math.min(h.length, v.length)
-            while (i < n) { s += h(i) * v(i); i += 1 }
-            if (s >= 0) sig |= (1L << p)
-            p += 1
-          }
-          (id, t, sig)
-        }
-      }
+      .select(col("vec_id"), posexplode(array(sigCols: _*)))
       .toDF("vec_id", "tbl", "sig")
   }
 
@@ -155,8 +149,9 @@ object Ann {
     // the signature scan (tables × planes dot products per vector) feeds
     // qSig AND the candidate join — and is query-independent, so memoize
     // it per (input, params) like cosineNearDupPairs' signatures: repeat
-    // queries skip the scan entirely (the per-call broadcast inside
-    // tableSignatures defeats plan-cache matching on its own)
+    // queries skip the scan entirely (the per-call HyperplaneSig
+    // expressions hold fresh plane arrays — reference equality — so
+    // canonicalized-plan cache matching alone would never re-attach)
     val sigs = LiveResultCache.getOrCompute("lshTopKSigs",
       s"$sfDir|${LiveResultCache.fingerprint(spark,
         s"$sfDir/embeddings.parquet")}|$planes|$tables") {
@@ -518,9 +513,9 @@ object Ann {
     // the signature scan (tables × p dot products per vector) feeds BOTH
     // sides of the self-join — persist it once; the set lives on as the
     // op's bounded serving cache. The memoized getOrCompute wrapper is
-    // load-bearing here: the signature flatMap captures a fresh broadcast
-    // per call, so canonicalized-plan cache matching alone can never
-    // re-attach across calls.
+    // load-bearing here: the HyperplaneSig expressions hold fresh plane
+    // arrays per call (reference equality), so canonicalized-plan cache
+    // matching alone can never re-attach across calls.
     val sigs = tableSignatures(spark, sfDir, p, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.as("a")

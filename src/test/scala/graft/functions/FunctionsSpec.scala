@@ -145,4 +145,75 @@ class FunctionsSpec extends AnyFunSuite {
       adcCompare()
     } finally spark.conf.set(key, old)
   }
+
+  // ---- HyperplaneSig: ≡ the flatMap closure it replaced ------------------
+
+  private val sigDim = 32
+  private val sigPlaneCount = 12
+  private val sigMat: Array[Double] = {
+    val rng = new java.util.Random(13)
+    Array.fill(sigPlaneCount * sigDim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** The former closure's fold, verbatim: p-ascending planes, i-ascending
+    * double accumulation over min(dim, |v|) floats, bit set iff s ≥ 0.
+    */
+  private def sigRef(v: Array[java.lang.Float]): Option[Long] = {
+    val n = math.min(sigDim, v.length)
+    var sig = 0L
+    var p = 0
+    while (p < sigPlaneCount) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (v(i) == null) return None
+        s += sigMat(p * sigDim + i) * v(i).floatValue()
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    Some(sig)
+  }
+
+  private def sigRows: Seq[(Int, Array[java.lang.Float])] = {
+    val rng = new java.util.Random(17)
+    def vec(n: Int): Array[java.lang.Float] =
+      Array.fill(n)(java.lang.Float.valueOf(rng.nextFloat() * 2f - 1f))
+    (0 until 100).map(i => (i, vec(sigDim))) ++ Seq(
+      (1000, vec(8)), // shorter than dim: prefix fold
+      (1001, vec(sigDim + 16)), // longer: clamped to dim
+      (1002, vec(0)), // empty: every s = 0.0 → all bits set
+      (1003, vec(4).updated(2, null: java.lang.Float)), // null elem → null
+      (1004, null)) // null vector → null
+  }
+
+  private def sigCompare(): Unit = {
+    val rows = sigRows
+    val got = rows.toDF("id", "v")
+      .select($"id", HyperplaneSig.hyperplaneSig($"v", sigMat, sigDim)
+        .as("sig"))
+      .collect().map(r =>
+        r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    rows.foreach { case (id, v) =>
+      val want = Option(v).flatMap(sigRef)
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+    assert(got(1002).contains((1L << sigPlaneCount) - 1))
+    assert(got(1003).isEmpty && got(1004).isEmpty)
+  }
+
+  test("hyperplaneSig ≡ the replaced closure under whole-stage codegen") {
+    sigCompare()
+  }
+
+  test("hyperplaneSig ≡ the replaced closure interpreted (codegen off)") {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      sigCompare()
+    } finally spark.conf.set(key, old)
+  }
 }
