@@ -191,21 +191,26 @@ object Multimodal {
       stride: Int = 4): DataFrame = {
     val nFrames =
       ceil(length(col("text")).cast("double") / frameChars).cast("int")
-    val frame = (i: org.apache.spark.sql.Column) =>
-      col("text").substr(i * frameChars + 1, lit(frameChars))
+    // r6: only the sampled frame INDEX comes from the (interpreted,
+    // per-element) higher-order filter; the per-frame work — substr +
+    // md5 + length — moved out of the former `transform` lambda into a
+    // flat Project ABOVE the explode, where it runs in whole-stage
+    // codegen and subexpression elimination computes each frame slice
+    // once (the lambda evaluated `substr` twice per frame, boxed).
+    // Identical rows: same indices, same expressions, same order.
+    val frame =
+      col("text").substr(col("frame_idx").cast("int") * frameChars + 1,
+        lit(frameChars))
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(filter(sequence(lit(0), nFrames - 1),
+          i => i % stride === 0)).as("frame_idx"))
       .select(col("doc_id"),
-        explode(transform(
-          filter(sequence(lit(0), nFrames - 1), i => i % stride === 0),
-          i => struct(
-            i.cast("long").as("frame_idx"),
-            md5(frame(i).cast("binary")).as("frame_md5"),
-            length(frame(i)).cast("long").as("frame_chars")))).as("f"))
-      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
-        col("f.frame_md5").as("frame_md5"),
-        col("f.frame_chars").as("frame_chars"))
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(frame.cast("binary")).as("frame_md5"),
+        length(frame).cast("long").as("frame_chars"))
   // unsorted by design — see imageMeta; SparkEntry orders for the oracle
   }
 
