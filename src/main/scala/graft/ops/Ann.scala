@@ -355,7 +355,7 @@ object Ann {
     if (fs.exists(metaP)) fs.delete(metaP, false)
     val cents = trainIvfCentroids(spark, sfDir, nlist, iters)
     val bc = spark.sparkContext.broadcast(cents)
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val parts = cellWriteParts(spark, sfDir)
     emb(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -375,6 +375,21 @@ object Ann {
     if (centroidMemo.size > 8) centroidMemo.clear()
     centroidMemo.put(s"$dir|$want", cents)
     dir
+  }
+
+  /** Write-side partition count for the cells table, derived from the
+    * table's row count (guide §6 "aim for output files in the 128 MB-1 GB
+    * range", adapted to rows): a tiny corpus gets a handful of files
+    * instead of defaultParallelism slivers — every query lists/opens the
+    * cells files, so small-file bloat is pure per-query overhead — while
+    * anything ≥ ~50k rows/core keeps the full write parallelism exactly
+    * as before (the range partitioner still splits big cells across
+    * files). The count is a parquet-metadata job, not a data pass.
+    */
+  private def cellWriteParts(spark: SparkSession, sfDir: String): Int = {
+    val n = emb(spark, sfDir).count()
+    math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(n / 50000.0).toInt))
   }
 
   private def readSmall(
@@ -731,7 +746,7 @@ object Ann {
     val cents = trainIvfCentroids(spark, sfDir, nlist, iters)
     val books = trainPqCodebooks(spark, sfDir, m, ksub, iters)
     val bc = spark.sparkContext.broadcast((cents, books))
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val parts = cellWriteParts(spark, sfDir)
     emb(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
