@@ -55,11 +55,8 @@ final class Checkpoint(spark: SparkSession, indexDir: String, buildId: String) {
   def readMarker(stage: String, group: Int): Option[LineageRecord] = {
     val p = markerPath(stage, group)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    in.readFully(bytes)
-    in.close()
-    val s = new String(bytes, StandardCharsets.UTF_8)
+    val s = new String(DeltaLog.readSmallBytes(fs, p),
+      StandardCharsets.UTF_8)
     def field(name: String): String = {
       val i = s.indexOf("\"" + name + "\":") + name.length + 3
       val end = s.indexWhere(c => c == ',' || c == '}', i)

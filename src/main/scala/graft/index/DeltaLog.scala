@@ -76,6 +76,29 @@ object DeltaLog {
     * consume each other's temp file — with a shared name, the loser's
     * fallback would DELETE the destination and then fail its rename.
     */
+  /** Fully reads a small meta/marker file, retrying ONCE on a transient
+    * ChecksumException: the file:-scheme [[writeAtomicString]] deletes
+    * the stale `.crc` sidecar and ATOMIC_MOVEs the data as two separate
+    * steps, so a ChecksumFileSystem reader that opened the old crc just
+    * before the delete can verify NEW bytes against the OLD checksum
+    * exactly once — the retry re-opens with the post-move state (crc
+    * absent → raw read). Every small-file reader in the index/ops layer
+    * goes through here.
+    */
+  private[graft] def readSmallBytes(
+      f: FileSystem, p: Path): Array[Byte] = {
+    def once(): Array[Byte] = {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        bytes
+      } finally in.close()
+    }
+    try once()
+    catch { case _: org.apache.hadoop.fs.ChecksumException => once() }
+  }
+
   private[graft] def writeAtomicString(
       f: FileSystem, path: String, content: String): Unit = {
     val dest = new Path(path)
@@ -151,14 +174,8 @@ object DeltaLog {
     val p = new Path(compactedMarker(dir))
     val marker =
       if (!f.exists(p)) 0
-      else {
-        val in = f.open(p)
-        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        in.close()
-        scala.util.Try(new String(bytes,
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt).getOrElse(0)
-      }
+      else scala.util.Try(new String(readSmallBytes(f, p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt).getOrElse(0)
     // redundant floor in meta.json ([[Incremental.compact]] records it
     // after every fold): losing EITHER file alone re-exposes nothing —
     // the derived add-tombstones keep even the both-lost case correct,

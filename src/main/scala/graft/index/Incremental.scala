@@ -445,11 +445,7 @@ object Incremental {
     val f = hadoopFs(spark, indexDir)
     val p = new org.apache.hadoop.fs.Path(compactingIntentPath(indexDir))
     if (!f.exists(p)) return None
-    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-    val in = f.open(p)
-    in.readFully(bytes)
-    in.close()
-    scala.util.Try(new String(bytes,
+    scala.util.Try(new String(DeltaLog.readSmallBytes(f, p),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
   }
 

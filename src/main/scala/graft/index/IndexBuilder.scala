@@ -504,11 +504,8 @@ object IndexBuilder {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(s"$indexDir/meta.json")
-    val in = fs.open(p)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    in.readFully(bytes)
-    in.close()
-    val s = new String(bytes, StandardCharsets.UTF_8)
+    val s = new String(DeltaLog.readSmallBytes(fs, p),
+      StandardCharsets.UTF_8)
     "\"(\\w+)\":(\"[^\"]*\"|[-0-9.eE]+)".r
       .findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\""))

@@ -396,14 +396,8 @@ object Ann {
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
+    else Some(new String(graft.index.DeltaLog.readSmallBytes(fs, p),
+      java.nio.charset.StandardCharsets.UTF_8))
 
   /** Centroids reloaded from a persisted index (cell-ordered). */
   def loadIvfCentroids(
