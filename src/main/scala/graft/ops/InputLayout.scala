@@ -26,6 +26,9 @@ object InputLayout {
   def spread(spark: SparkSession, df: DataFrame, key: Column): DataFrame = {
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
     val scanParts = df.rdd.getNumPartitions
-    if (scanParts < cores) df.repartition(cores, key) else df
+    // fire only on GROSS under-split (≤ half the cores): a scan already
+    // within 2× of the core count would pay a full exchange to reclaim a
+    // sliver of idle capacity — not worth it at any scale
+    if (scanParts * 2 <= cores) df.repartition(cores, key) else df
   }
 }
